@@ -1,0 +1,95 @@
+"""lowlevelparticlefilters_jl_tpu — TPU-native state estimation in JAX.
+
+A ground-up re-design of the capabilities of LowLevelParticleFilters.jl
+(reference mounted at /root/reference) for TPU hardware:
+
+- filters are immutable pytree dataclasses; `predict`/`correct`/`update`
+  are pure functions (jit/grad/vmap-compatible end to end),
+- the sequential trajectory loop is `lax.scan`; particle/sigma-point/
+  ensemble axes are `vmap`-ed and mesh-shardable (`parallel/`),
+- resampling and weight normalization ride prefix-sum + binary-search on
+  the VPU, with Pallas kernels for the large-N regime,
+- gradients of the data log-likelihood flow through the whole filter
+  (reverse-mode, replacing the reference's ForwardDiff).
+
+Quick start::
+
+    import jax.numpy as jnp
+    import lowlevelparticlefilters_jl_tpu as llpf
+
+    kf = llpf.KalmanFilter(A, B, C, 0, R1, R2)
+    sol = llpf.forward_trajectory(kf, u, y)     # u: [T, nu], y: [T, ny]
+    ssol = llpf.smooth(kf, u, y)
+"""
+
+from .ops.logsumexp import (
+    logsumexp,
+    logsumexp_normalize,
+    expnormalize,
+    effective_particles,
+)
+from .ops.mvnormal import MvNormal, as_mvnormal, mvnormal_logpdf, mvnormal_logpdf_cov
+from .ops.matrices import (
+    TimeVarying,
+    FnMat,
+    resolve_mat,
+    IndexingMatrix,
+    indexing_matrix,
+)
+from .ops.resample import (
+    resample,
+    resample_systematic,
+    resample_stratified,
+    resample_residual,
+    resample_multinomial,
+)
+from .ops.discretize import (
+    rk4,
+    double_integrator_covariance,
+    double_integrator_covariance_smooth,
+    n_integrator_covariance,
+    n_integrator_covariance_smooth,
+)
+from .ops.linalg import symmetrize, symmetrize_psd
+
+from .filters.base import AbstractFilter, AbstractKalmanFilter, AbstractParticleFilter
+from .filters.kalman import KalmanFilter, KFState, KalmanInfo
+from .filters.particle import (
+    ParticleFilter,
+    AdvancedParticleFilter,
+    AuxiliaryParticleFilter,
+    PFState,
+    PFInfo,
+)
+
+from .trajectory import (
+    forward_trajectory,
+    loglik,
+    loglik_x,
+    sse,
+    simulate,
+    rollout,
+    weighted_mean,
+    weighted_cov,
+    weighted_quantile,
+    mean_trajectory,
+    mode_trajectory,
+)
+from .smoothing import (
+    smooth,
+    rts_smooth,
+    smooth_mbf,
+    ffbs_smooth,
+    smoothed_mean,
+    smoothed_cov,
+    smoothed_trajs,
+)
+
+from .utils.signal_names import SignalNames, default_names
+from .utils.solutions import (
+    KalmanFilteringSolution,
+    KalmanSmoothingSolution,
+    ParticleFilteringSolution,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,150 @@
+"""The `get_mat` convention — constant | time-stacked | callable matrices.
+
+The single most load-bearing configuration idiom of the reference
+(/root/reference/src/filtering.jl:16-43): every system matrix
+(A, B, C, D, R1, R2, ...) may be
+
+- a constant array,
+- a *time-stacked* array with the time index in the **leading** axis
+  (``M[k]`` is the matrix at step ``k``; the reference stacks on the last
+  axis, filtering.jl:18 — we use the leading axis for TPU-friendly layout
+  and `lax.dynamic_index_in_dim`), or
+- a callable ``M(x, u, p, t) -> array``.
+
+Because a raw 3-D array is ambiguous in some filters (e.g. a per-particle
+covariance), time-stacked matrices may also be wrapped explicitly in
+:class:`TimeVarying`.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.struct import struct, field, static_field
+
+
+@struct
+class TimeVarying:
+    """Explicit marker for a time-stacked matrix ``data[k] = M_k``."""
+
+    data: jax.Array = field()
+
+
+@struct
+class FnMat:
+    """Pytree wrapper holding a callable matrix spec ``fn(x, u, p, t)``.
+
+    The callable is static metadata (part of the jit cache key); the wrapper
+    itself has zero leaves so it can live in a data field of a filter.
+    """
+
+    fn: Callable = static_field()
+
+    def __call__(self, x, u, p, t):
+        return self.fn(x, u, p, t)
+
+
+MatLike = Union[jax.Array, TimeVarying, FnMat, Callable, None]
+
+
+def as_matspec(M, base_ndim: int = 2):
+    """Coerce a user-provided matrix spec into pytree-safe canonical form.
+
+    Idempotent (safe to re-run on unflatten): arrays stay arrays, callables
+    are wrapped in :class:`FnMat`, ``None`` passes through.
+    """
+    if M is None or isinstance(M, (FnMat, TimeVarying, jax.Array)):
+        return M
+    if callable(M):
+        return FnMat(fn=M)
+    return jnp.asarray(M)
+
+
+def resolve_mat(M: MatLike, x, u, p, t, *, base_ndim: int = 2):
+    """Evaluate a `get_mat`-style matrix specification at (x, u, p, t).
+
+    ``base_ndim`` is the rank of the constant matrix (2 for A/B/C/..., 1 for
+    a vector).  A raw array of rank ``base_ndim + 1`` is interpreted as
+    time-stacked and indexed at step ``round(t / Ts)`` — like the reference,
+    integer-step indexing assumes Ts == 1 unless callers pre-divide t.
+    """
+    if M is None:
+        return None
+    if callable(M) and not isinstance(M, (jax.Array, TimeVarying)):
+        return M(x, u, p, t)
+    if isinstance(M, TimeVarying):
+        return _index_time(M.data, t)
+    arr = M if isinstance(M, jax.Array) else jnp.asarray(M)
+    if arr.ndim == base_ndim + 1:
+        return _index_time(arr, t)
+    return arr
+
+
+def _index_time(data: jax.Array, t):
+    k = jnp.asarray(t).astype(jnp.int32)
+    return jax.lax.dynamic_index_in_dim(data, k, axis=0, keepdims=False)
+
+
+def is_constant_mat(M: MatLike, base_ndim: int = 2) -> bool:
+    """True when M resolves to the same array for all (x, u, p, t)."""
+    if M is None:
+        return True
+    if callable(M) and not isinstance(M, (jax.Array, TimeVarying)):
+        return False
+    if isinstance(M, TimeVarying):
+        return False
+    arr = jnp.asarray(M)
+    return arr.ndim <= base_ndim
+
+
+# ---------------------------------------------------------------------------
+# IndexingMatrix — sparse 0/1 selector (reference src/indexing_matrix.jl).
+# On TPU a tiny selector matmul is free after fusion, so the "fast multiply"
+# specializations (indexing_matrix.jl:51-101) reduce to gather/scatter.
+# ---------------------------------------------------------------------------
+
+
+@struct
+class IndexingMatrix:
+    """A (m, n) selector matrix with exactly one 1 per row.
+
+    ``I @ v`` gathers ``v[inds]``; ``I.T @ v`` scatters.  Mirrors
+    `IndexingMatrix` (indexing_matrix.jl:23-101) without materializing the
+    dense matrix in the hot path.
+    """
+
+    inds: jax.Array = field()  # int32[m], row i selects column inds[i]
+    n: int = static_field()
+
+    @property
+    def shape(self):
+        return (self.inds.shape[0], self.n)
+
+    def todense(self, dtype=jnp.float32) -> jax.Array:
+        return jax.nn.one_hot(self.inds, self.n, dtype=dtype)
+
+    def matvec(self, v: jax.Array) -> jax.Array:
+        """I @ v — gather along the leading axis of v."""
+        return jnp.take(v, self.inds, axis=0)
+
+    def rmatvec(self, v: jax.Array) -> jax.Array:
+        """I.T @ v — scatter-add along the leading axis."""
+        out_shape = (self.n, *v.shape[1:])
+        return jnp.zeros(out_shape, dtype=v.dtype).at[self.inds].add(v)
+
+    def __matmul__(self, other):
+        return self.matvec(jnp.asarray(other))
+
+    def __rmatmul__(self, other):
+        # other @ I  ==  (I.T @ other.T).T  == gather of other's columns
+        other = jnp.asarray(other)
+        return jnp.moveaxis(
+            self.rmatvec(jnp.moveaxis(other, -1, 0)), 0, -1
+        )
+
+
+def indexing_matrix(inds, n: int) -> IndexingMatrix:
+    inds = jnp.asarray(inds, dtype=jnp.int32)
+    return IndexingMatrix(inds=inds, n=int(n))

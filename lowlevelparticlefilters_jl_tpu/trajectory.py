@@ -1,0 +1,326 @@
+"""Batch filtering along a trajectory — the sequential hot loop.
+
+TPU-native re-design of /root/reference/src/filtering.jl:282-327
+(`forward_trajectory`): the per-step Python loop becomes one `lax.scan`
+whose carry is the filter state and whose stacked outputs are the solution
+fields.  The whole function is jit-able and `jax.grad`-able end to end
+(the reference needs ForwardDiff through mutation; here reverse-mode AD
+through the scan is free).
+
+The four-callback protocol (pre/post correct/predict, filtering.jl:270-281)
+is preserved as pure functions traced into the scan body:
+
+- ``pre_correct_cb(f, state, u, y, p, t) -> R2-override or None``
+- ``post_correct_cb(f, state, info, u, y, p, t) -> (state, extra) or None``
+- ``pre_predict_cb(f, state, u, y, p, t, info) -> R1-override or None``
+- ``post_predict_cb(f, state, u, y, p, t) -> state or None``
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .utils.solutions import KalmanFilteringSolution, ParticleFilteringSolution
+from .filters.base import AbstractKalmanFilter
+
+
+def _time_vector(f, T: int):
+    Ts = getattr(f, "Ts", 1.0)
+    return jnp.arange(T) * Ts
+
+
+def forward_trajectory(
+    f,
+    u,
+    y,
+    p=None,
+    *,
+    pre_correct_cb: Optional[Callable] = None,
+    post_correct_cb: Optional[Callable] = None,
+    pre_predict_cb: Optional[Callable] = None,
+    post_predict_cb: Optional[Callable] = None,
+    **kwargs,
+):
+    """Run a filter over stacked inputs ``u[T, nu]`` / measurements ``y[T, ny]``.
+
+    Dispatches on filter family: Kalman-type filters return a
+    :class:`KalmanFilteringSolution`, particle filters a
+    :class:`ParticleFilteringSolution` (via their own implementation).
+    """
+    if hasattr(f, "forward_trajectory"):
+        return f.forward_trajectory(
+            u,
+            y,
+            p,
+            pre_correct_cb=pre_correct_cb,
+            post_correct_cb=post_correct_cb,
+            pre_predict_cb=pre_predict_cb,
+            post_predict_cb=post_predict_cb,
+            **kwargs,
+        )
+    return kalman_forward_trajectory(
+        f,
+        u,
+        y,
+        p,
+        pre_correct_cb=pre_correct_cb,
+        post_correct_cb=post_correct_cb,
+        pre_predict_cb=pre_predict_cb,
+        post_predict_cb=post_predict_cb,
+        **kwargs,
+    )
+
+
+def kalman_forward_trajectory(
+    kf,
+    u,
+    y,
+    p=None,
+    *,
+    pre_correct_cb=None,
+    post_correct_cb=None,
+    pre_predict_cb=None,
+    post_predict_cb=None,
+    mm=None,
+):
+    """`forward_trajectory` for Kalman-type filters (filtering.jl:282-327).
+
+    Step order matches the reference exactly: save prediction → correct →
+    save filtered → predict.
+    """
+    y = jnp.asarray(y)
+    T = y.shape[0]
+    u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+    tvec = _time_vector(kf, T)
+    state0 = kf.init()
+
+    def step(state, inp):
+        uk, yk, tk = inp
+        x_pred, R_pred = kf.state_mean(state), kf.state_cov(state)
+        R2 = pre_correct_cb(kf, state, uk, yk, p, tk) if pre_correct_cb else None
+        state, info = kf.correct(state, uk, yk, p, tk, R2=R2, mm=mm)
+        extra = None
+        if post_correct_cb:
+            out = post_correct_cb(kf, state, info, uk, yk, p, tk)
+            if out is not None:
+                state, extra = out
+        x_filt, R_filt = kf.state_mean(state), kf.state_cov(state)
+        R1 = pre_predict_cb(kf, state, uk, yk, p, tk, info) if pre_predict_cb else None
+        state = kf.predict(state, uk, p, tk, R1=R1)
+        if post_predict_cb:
+            out = post_predict_cb(kf, state, uk, yk, p, tk)
+            if out is not None:
+                state = out
+        ok = jnp.all(jnp.isfinite(x_filt)) & jnp.all(jnp.isfinite(info.e))
+        ys = (x_pred, R_pred, x_filt, R_filt, info.ll, info.e, info.S, info.Schol, info.K, extra, ok)
+        return state, ys
+
+    _, (x, R, xt, Rt, lls, e, S, Schol, K, extra, ok) = jax.lax.scan(
+        step, state0, (u_seq, y, tvec)
+    )
+    return KalmanFilteringSolution(
+        u=u_seq,
+        y=y,
+        x=x,
+        xt=xt,
+        R=R,
+        Rt=Rt,
+        ll=jnp.sum(lls),
+        e=e,
+        K=K,
+        S=S,
+        extra=extra,
+        t=tvec,
+        ok=ok,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Low-memory objectives (reference src/smoothing.jl:153-258) — same compute
+# as forward_trajectory, nothing stored but the running reduction.
+# ---------------------------------------------------------------------------
+
+
+def loglik(f, u, y, p=None, **kwargs):
+    """Total log-likelihood of the data (smoothing.jl:227-236)."""
+    if hasattr(f, "loglik"):
+        return f.loglik(u, y, p, **kwargs)
+    y = jnp.asarray(y)
+    T = y.shape[0]
+    u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+    tvec = _time_vector(f, T)
+    state0 = f.init()
+
+    def step(state, inp):
+        uk, yk, tk = inp
+        state, info = f.update(state, uk, yk, p, tk, **kwargs)
+        return state, info.ll
+
+    _, lls = jax.lax.scan(step, state0, (u_seq, y, tvec))
+    return jnp.sum(lls)
+
+
+def sse(f, u, y, p=None, lam=1.0):
+    """Sum of squared prediction errors ``Σ eᵀ λ e`` (smoothing.jl:153-160)."""
+    y = jnp.asarray(y)
+    T = y.shape[0]
+    u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+    tvec = _time_vector(f, T)
+    state0 = f.init()
+    lam = jnp.asarray(lam)
+
+    def step(state, inp):
+        uk, yk, tk = inp
+        state, info = f.update(state, uk, yk, p, tk)
+        e = info.e
+        w = lam * e if lam.ndim < 2 else lam @ e
+        return state, jnp.dot(e, w)
+
+    _, sses = jax.lax.scan(step, state0, (u_seq, y, tvec))
+    return jnp.sum(sses)
+
+
+def loglik_x(f, u, y, x, p=None):
+    """State-sequence log-likelihood for Kalman-type filters
+    (smoothing.jl:243-258): ``Σ logpdf(N(0, R(t|t-1)), x_t - x̂_t)`` using
+    prediction errors, summed over t = 1..T-1 like the reference."""
+    from .ops.mvnormal import mvnormal_logpdf_cov
+
+    y = jnp.asarray(y)
+    x = jnp.asarray(x)
+    T = y.shape[0]
+    u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+    tvec = _time_vector(f, T)
+    state0 = f.init()
+
+    def step(state, inp):
+        uk, yk, xk, tk = inp
+        xe = xk - f.state_mean(state)
+        state, _ = f.correct(state, uk, yk, p, tk)
+        state = f.predict(state, uk, p, tk)
+        ll = mvnormal_logpdf_cov(xe, jnp.zeros_like(xe), f.state_cov(state))
+        return state, ll
+
+    _, lls = jax.lax.scan(step, state0, (u_seq, y, x, tvec))
+    return jnp.sum(lls[:-1])
+
+
+# ---------------------------------------------------------------------------
+# Simulation (filtering.jl:443-477) and rollout (filtering.jl:527-533)
+# ---------------------------------------------------------------------------
+
+
+def simulate(
+    f,
+    u_or_T,
+    key: jax.Array,
+    p=None,
+    *,
+    du=None,
+    dynamics_noise: bool = True,
+    measurement_noise: bool = True,
+    sample_initial: bool = False,
+):
+    """Draw one trajectory from the filter's generative model.
+
+    ``x, u, y = simulate(f, u, key)`` with ``u`` of shape [T, nu], or
+    ``simulate(f, T, key, du=input_density)`` to sample random inputs —
+    mirrors filtering.jl:457-477.  Returns stacked arrays
+    (x: [T, nx], u: [T, nu], y: [T, ny]).
+    """
+    p = getattr(f, "p", None) if p is None else p
+    if isinstance(u_or_T, int):
+        if du is None:
+            raise ValueError("provide du (input density) when simulating T steps")
+        key, ku = jax.random.split(key)
+        u = du.sample(ku, (u_or_T,))
+    else:
+        u = jnp.asarray(u_or_T)
+    T = u.shape[0]
+    Ts = getattr(f, "Ts", 1.0)
+
+    key, k0 = jax.random.split(key)
+    x1 = f.sample_initial(k0, p, noise=sample_initial)
+    keys = jax.random.split(key, 2 * T).reshape(T, 2, -1)
+
+    def step(x, inp):
+        uk, tk, kk = inp
+        y = f.sample_measurement(kk[0], x, uk, p, tk, noise=measurement_noise)
+        xn = f.sample_state(kk[1], x, uk, p, tk, noise=dynamics_noise)
+        return xn, (x, y)
+
+    tvec = jnp.arange(T) * Ts
+    _, (x, y) = jax.lax.scan(step, x1, (u, tvec, keys))
+    return x, u, y
+
+
+def rollout(dyn: Callable, x0, u, p=None, Ts: float = 1.0):
+    """Open-loop rollout of a dynamics function (filtering.jl:527-533).
+
+    Returns [T+1, nx] — x0 followed by the propagated states.
+    """
+    u = jnp.asarray(u)
+
+    def step(x, inp):
+        uk, tk = inp
+        xn = dyn(x, uk, p, tk)
+        return xn, xn
+
+    tvec = (jnp.arange(u.shape[0]) + 1) * Ts
+    _, xs = jax.lax.scan(step, jnp.asarray(x0), (u, tvec))
+    return jnp.concatenate([jnp.asarray(x0)[None], xs], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Weighted statistics (filtering.jl:541-595)
+# ---------------------------------------------------------------------------
+
+
+def weighted_mean(x: jax.Array, we: jax.Array) -> jax.Array:
+    """Weighted mean over the particle axis.
+
+    ``x`` is [..., N, nx], ``we`` is [..., N]; returns [..., nx].
+    """
+    return jnp.einsum("...n,...nd->...d", we, x)
+
+
+def weighted_cov(x: jax.Array, we: jax.Array) -> jax.Array:
+    """Weighted (frequency-corrected) covariance per time step
+    (filtering.jl:575-579). ``x``: [..., N, nx], ``we``: [..., N]."""
+    m = weighted_mean(x, we)
+    d = x - m[..., None, :]
+    cov = jnp.einsum("...n,...ni,...nj->...ij", we, d, d)
+    # ProbabilityWeights correction: 1 / (1 - sum(we^2))
+    corr = 1.0 / (1.0 - jnp.sum(jnp.square(we), axis=-1))
+    return cov * corr[..., None, None]
+
+
+def weighted_quantile(x: jax.Array, we: jax.Array, q) -> jax.Array:
+    """Weighted quantile per dimension (filtering.jl:592-595).
+
+    ``x``: [..., N, nx], ``we``: [..., N].  Uses the weighted-CDF inversion
+    definition (matches StatsBase for interior quantiles up to tie-breaking).
+    """
+    order = jnp.argsort(x, axis=-2)
+    xs = jnp.take_along_axis(x, order, axis=-2)
+    ws = jnp.take_along_axis(we[..., None] * jnp.ones_like(x), order, axis=-2)
+    cdf = jnp.cumsum(ws, axis=-2)
+    cdf = cdf / cdf[..., -1:, :]
+    q = jnp.asarray(q)
+    idx = jnp.sum(cdf < q, axis=-2)
+    idx = jnp.clip(idx, 0, x.shape[-2] - 1)
+    return jnp.take_along_axis(xs, idx[..., None, :], axis=-2)[..., 0, :]
+
+
+def mean_trajectory(x: jax.Array, we: jax.Array) -> jax.Array:
+    """Weighted mean along a particle trajectory ([T, N, nx] → [T, nx]),
+    cf. filtering.jl:393-440."""
+    return weighted_mean(x, we)
+
+
+def mode_trajectory(x: jax.Array, we: jax.Array) -> jax.Array:
+    """Highest-weight particle per step ([T, N, nx] → [T, nx])."""
+    idx = jnp.argmax(we, axis=-1)
+    return jnp.take_along_axis(x, idx[..., None, None], axis=-2)[..., 0, :]
