@@ -54,6 +54,33 @@ from .ops.linalg import symmetrize, symmetrize_psd
 
 from .filters.base import AbstractFilter, AbstractKalmanFilter, AbstractParticleFilter
 from .filters.kalman import KalmanFilter, KFState, KalmanInfo
+from .filters.ukf import UnscentedKalmanFilter, make_ukf
+from .filters.ekf import ExtendedKalmanFilter, make_ekf, make_iekf
+from .filters.sqkf import (
+    SqKalmanFilter,
+    SqExtendedKalmanFilter,
+    SqKFState,
+    make_sqekf,
+)
+from .models.measurement_models import (
+    AbstractMeasurementModel,
+    LinearMeasurementModel,
+    EKFMeasurementModel,
+    IEKFMeasurementModel,
+    UKFMeasurementModel,
+    CompositeMeasurementModel,
+)
+from .models.sigmapoints import (
+    WikiParams,
+    MerweParams,
+    TrivialParams,
+    UKFWeights,
+    ukf_weights,
+    sigmapoints,
+    ut_mean,
+    ut_cov,
+    ut_cross_cov,
+)
 from .filters.particle import (
     ParticleFilter,
     AdvancedParticleFilter,

@@ -48,17 +48,23 @@ class AbstractFilter:
 
 
 class AbstractKalmanFilter(AbstractFilter):
-    """Marker base for Kalman-family filters (Gaussian state posteriors)."""
+    """Marker base for Kalman-family filters (Gaussian state posteriors).
 
-    def state_mean(self, state):
+    `state`/`covariance` mirror the reference's exported accessors
+    (kalman.jl:111-112).  Note: these are *methods over the state pytree*;
+    the UKF's `state_mean`/`state_cov` *fields* are the custom UT
+    reduction hooks (different concept, reference kwargs of the same name).
+    """
+
+    def state(self, state):
         return state.x
 
-    def state_cov(self, state):
+    def covariance(self, state):
         return state.R
 
 
 class AbstractParticleFilter(AbstractFilter):
     """Marker base for particle filters (weighted-sample posteriors)."""
 
-    def state_mean(self, state):
+    def state(self, state):
         return jnp.einsum("n,nd->d", state.we, state.x)

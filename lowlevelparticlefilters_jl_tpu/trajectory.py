@@ -98,7 +98,7 @@ def kalman_forward_trajectory(
 
     def step(state, inp):
         uk, yk, tk = inp
-        x_pred, R_pred = kf.state_mean(state), kf.state_cov(state)
+        x_pred, R_pred = kf.state(state), kf.covariance(state)
         R2 = pre_correct_cb(kf, state, uk, yk, p, tk) if pre_correct_cb else None
         state, info = kf.correct(state, uk, yk, p, tk, R2=R2, mm=mm)
         extra = None
@@ -106,7 +106,7 @@ def kalman_forward_trajectory(
             out = post_correct_cb(kf, state, info, uk, yk, p, tk)
             if out is not None:
                 state, extra = out
-        x_filt, R_filt = kf.state_mean(state), kf.state_cov(state)
+        x_filt, R_filt = kf.state(state), kf.covariance(state)
         R1 = pre_predict_cb(kf, state, uk, yk, p, tk, info) if pre_predict_cb else None
         state = kf.predict(state, uk, p, tk, R1=R1)
         if post_predict_cb:
@@ -197,10 +197,10 @@ def loglik_x(f, u, y, x, p=None):
 
     def step(state, inp):
         uk, yk, xk, tk = inp
-        xe = xk - f.state_mean(state)
+        xe = xk - f.state(state)
         state, _ = f.correct(state, uk, yk, p, tk)
         state = f.predict(state, uk, p, tk)
-        ll = mvnormal_logpdf_cov(xe, jnp.zeros_like(xe), f.state_cov(state))
+        ll = mvnormal_logpdf_cov(xe, jnp.zeros_like(xe), f.covariance(state))
         return state, ll
 
     _, lls = jax.lax.scan(step, state0, (u_seq, y, x, tvec))
