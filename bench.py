@@ -1,0 +1,127 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Primary metric (BASELINE.md rebuild target): bootstrap-PF throughput in
+particle-steps/s at N=1e5 on the 2-state linear-Gaussian model from the
+reference's docs/src/benchmark.md, including systematic resampling every
+step and the full scan loop.  Baseline: 7.37e6 particle-steps/s (single-
+core Julia, docs/src/benchmark.md:48).
+
+Extra sub-metrics mirror the other published numbers: batched KF passes @
+1024 banks and the 4-state UKF 50k-step workload (docs/src/benchmark.md:158).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import lowlevelparticlefilters_jl_tpu as llpf
+
+BASELINE_PF_PARTICLE_STEPS_PER_S = 7.37e6  # docs/src/benchmark.md:48
+BASELINE_UKF_STEPS_PER_S = 50_000 / 0.01768  # docs/src/benchmark.md:158
+
+
+def _timeit(fn, *args, repeats=3):
+    fn(*args)  # compile + warm cache
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_pf(N=100_000, T=1_000):
+    A = jnp.array([[0.97043, -0.097368], [0.097368, 0.970437]], dtype=jnp.float32)
+    B = jnp.array([[0.1], [0.0]], dtype=jnp.float32)
+    C = jnp.eye(2, dtype=jnp.float32)
+    R1 = 0.01 * jnp.eye(2, dtype=jnp.float32)
+    R2 = 0.1 * jnp.eye(2, dtype=jnp.float32)
+    pf = llpf.ParticleFilter(
+        N=N,
+        dynamics=lambda x, u, p, t: A @ x + B @ u,
+        measurement=lambda x, u, p, t: C @ x,
+        dynamics_density=R1,
+        measurement_density=R2,
+        initial_density=R1,
+        resample_threshold=1.0,
+    )
+    kf = llpf.KalmanFilter(A, B, C, 0, R1, R2)
+    key = jax.random.PRNGKey(0)
+    _, us, ys = llpf.simulate(kf, 0.3 * jnp.ones((T, 1), jnp.float32), key)
+
+    run = jax.jit(lambda u, y, k: pf.loglik(u, y, key=k))
+    dt = _timeit(run, us, ys, jax.random.PRNGKey(1))
+    return N * T / dt, dt
+
+
+def bench_kf_bank(Bk=1024, T=200):
+    A = jnp.array([[0.97043, -0.097368], [0.097368, 0.970437]], dtype=jnp.float32)
+    Bm = jnp.array([[0.1], [0.0]], dtype=jnp.float32)
+    C = jnp.eye(2, dtype=jnp.float32)
+    R1 = 0.01 * jnp.eye(2, dtype=jnp.float32)
+    R2 = 0.1 * jnp.eye(2, dtype=jnp.float32)
+    kf = llpf.KalmanFilter(A, Bm, C, 0, R1, R2)
+    keys = jax.random.split(jax.random.PRNGKey(0), Bk)
+    us = 0.3 * jnp.ones((Bk, T, 1), jnp.float32)
+    ys = jax.vmap(lambda k, u: llpf.simulate(kf, u, k)[2])(keys, us)
+
+    run = jax.jit(
+        lambda us, ys: jax.vmap(lambda u, y: llpf.loglik(kf, u, y))(us, ys)
+    )
+    dt = _timeit(run, us, ys)
+    return Bk / dt, dt
+
+
+def bench_ukf(T=50_000):
+    # 4-state/2-output constant-velocity model (docs/src/benchmark.md:120-158)
+    dt_s = 0.1
+    A = jnp.array(
+        [[1, 0, dt_s, 0], [0, 1, 0, dt_s], [0, 0, 1, 0], [0, 0, 0, 1]],
+        dtype=jnp.float32,
+    )
+    C = jnp.array([[1, 0, 0, 0], [0, 1, 0, 0]], dtype=jnp.float32)
+    R1 = 0.1 * jnp.eye(4, dtype=jnp.float32)
+    R2 = 1.0 * jnp.eye(2, dtype=jnp.float32)
+    ukf = llpf.make_ukf(
+        lambda x, u, p, t: A @ x,
+        lambda x, u, p, t: C @ x,
+        R1,
+        R2,
+        ny=2,
+        nu=0,
+    )
+    key = jax.random.PRNGKey(0)
+    ys = jax.random.normal(key, (T, 2), dtype=jnp.float32)
+
+    run = jax.jit(lambda ys: llpf.loglik(ukf, None, ys))
+    dt = _timeit(run, ys)
+    return T / dt, dt
+
+
+def main():
+    pf_rate, pf_dt = bench_pf()
+    kf_rate, kf_dt = bench_kf_bank()
+    ukf_rate, ukf_dt = bench_ukf()
+    out = {
+        "metric": "bootstrap_pf_particle_steps_per_s_N1e5",
+        "value": round(pf_rate, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(pf_rate / BASELINE_PF_PARTICLE_STEPS_PER_S, 2),
+        "extra": {
+            "pf_walltime_s_T1000": round(pf_dt, 4),
+            "kf_bank1024_passes_per_s": round(kf_rate, 1),
+            "kf_bank1024_walltime_s_T200": round(kf_dt, 4),
+            "ukf_steps_per_s_T50k": round(ukf_rate, 1),
+            "ukf_vs_julia_baseline": round(ukf_rate / BASELINE_UKF_STEPS_PER_S, 3),
+            "device": jax.devices()[0].device_kind,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

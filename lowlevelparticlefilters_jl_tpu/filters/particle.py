@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..ops.logsumexp import logsumexp_normalize, expnormalize, effective_particles
 from ..ops.mvnormal import MvNormal, as_mvnormal
-from ..ops.resample import resample
+from ..ops.resample import resample, resample_systematic_gather
 from ..utils.solutions import ParticleFilteringSolution
 from ..utils.struct import struct, field, static_field
 from .base import AbstractParticleFilter
@@ -73,17 +73,27 @@ class _ParticleCommon(AbstractParticleFilter):
 
     # -- resample-or-not, shape-static (filtering.jl:140-153) ------------
     def _maybe_resample(self, state: PFState):
-        """Return (indices j, reset?) honoring the Neff trigger."""
+        """Resampled particles + (did-resample?, key), honoring the Neff
+        trigger (resample.jl:5-10) as a `where` select so the scan body
+        stays shape-static.
+
+        The systematic strategy takes the fused monotone-gather path
+        (ops/resample.py:resample_systematic_gather) — on TPU the index
+        gather alone costs ~1.5 ms at N=1e5 while the fused form is ~1 µs.
+        """
         N = self.N
         key, kr = jax.random.split(state.key)
-        j_res = resample(state.we, kr, N, strategy=self.resampling_strategy)
+        if self.resampling_strategy == "systematic":
+            x_res = resample_systematic_gather(state.x, state.we, kr)
+        else:
+            j = resample(state.we, kr, N, strategy=self.resampling_strategy)
+            x_res = state.x[j]
         if self.resample_threshold >= 1.0:
-            return j_res, jnp.asarray(True), key
+            return x_res, jnp.asarray(True), key
         neff = effective_particles(state.we)
         do = neff < self.resample_threshold * N
-        j_id = jnp.arange(N, dtype=jnp.int32)
-        j = jnp.where(do, j_res, j_id)
-        return j, do, key
+        x = jnp.where(do, x_res, state.x)
+        return x, do, key
 
     def forward_trajectory(self, u, y, p=None, *, pre_correct_cb=None,
                            post_correct_cb=None, pre_predict_cb=None,
@@ -210,8 +220,7 @@ class ParticleFilter(_ParticleCommon):
     def predict(self, state: PFState, u=None, p=None, t=None):
         p = self.p if p is None else p
         t = state.t * self.Ts if t is None else t
-        j, did_resample, key = self._maybe_resample(state)
-        x = state.x[j]
+        x, did_resample, key = self._maybe_resample(state)
         f = self.dynamics
         xn = jax.vmap(lambda xi: f(xi, u, p, t))(x)
         if self.dynamics_density is not None:
@@ -291,8 +300,7 @@ class AdvancedParticleFilter(_ParticleCommon):
     def predict(self, state: PFState, u=None, p=None, t=None):
         p = self.p if p is None else p
         t = state.t * self.Ts if t is None else t
-        j, did_resample, key = self._maybe_resample(state)
-        x = state.x[j]
+        x, did_resample, key = self._maybe_resample(state)
         key, kn = jax.random.split(key)
         keys = jax.random.split(kn, self.N)
         f = self.dynamics
@@ -353,11 +361,15 @@ class AuxiliaryParticleFilter(_ParticleCommon):
             w = state.w + lam
             we_b = expnormalize(w)
             key, kr = jax.random.split(state.key)
-            j = resample(we_b, kr, N, strategy=inner.resampling_strategy)
+            if inner.resampling_strategy == "systematic":
+                x_res = resample_systematic_gather(state.x, we_b, kr)
+            else:
+                j = resample(we_b, kr, N, strategy=inner.resampling_strategy)
+                x_res = state.x[j]
             key, kn = jax.random.split(key)
             keys = jax.random.split(kn, N)
             xn = jax.vmap(lambda xi, ki: inner.dynamics(xi, u, p, t, ki))(
-                state.x[j], keys
+                x_res, keys
             )
             w0, we0 = _uniform_weights(N, state.w.dtype)
             return PFState(x=xn, w=w0, we=we0, t=state.t + 1, key=key)
@@ -369,8 +381,11 @@ class AuxiliaryParticleFilter(_ParticleCommon):
         w = state.w + lam
         we_b = expnormalize(w)
         key, kr = jax.random.split(state.key)
-        j = resample(we_b, kr, N, strategy=inner.resampling_strategy)
-        x = xpred[j]
+        if inner.resampling_strategy == "systematic":
+            x = resample_systematic_gather(xpred, we_b, kr)
+        else:
+            j = resample(we_b, kr, N, strategy=inner.resampling_strategy)
+            x = xpred[j]
         if inner.dynamics_density is not None:
             key, kn = jax.random.split(key)
             x = x + inner.dynamics_density.sample(kn, (N,))

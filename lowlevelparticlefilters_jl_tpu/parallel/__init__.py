@@ -1,0 +1,9 @@
+"""Multi-chip execution: sharded particles, filter banks, PMMH chains."""
+
+from .sharded import (
+    particle_mesh,
+    shard_pf_state,
+    sharded_update,
+    sharded_forward_trajectory,
+)
+from .bank import bank_mesh, bank_forward_trajectory, bank_loglik, shard_bank

@@ -1,0 +1,205 @@
+"""Mesh-sharded particle filtering — the multi-chip execution layer.
+
+The reference's only parallelism is shared-memory threads over the particle
+loop (/root/reference/src/PFtypes.jl:229-231, 247-252) and threaded MCMC
+chains (src/smoothing.jl:335-347).  The TPU-native equivalent shards the
+*particle axis* over a `jax.sharding.Mesh` and rides ICI collectives:
+
+- particle propagation and measurement weighting are embarrassingly parallel
+  (no communication),
+- the global weight normalization (`logsumexp!`, src/utils.jl:18-27) becomes
+  `pmax` (stable offset) + `psum` (normalizer) — two scalar collectives,
+- systematic resampling (src/resample.jl:17-36) needs the *global* CDF: the
+  weight vector is `all_gather`-ed (N floats — cheap), each device computes
+  its own slice of the global index vector, and particles are exchanged with
+  one `all_gather` of the particle block (the gather-to-replicated regime,
+  valid to N ≈ 1e6; see SURVEY.md §5).
+
+Two usage modes:
+
+1. **GSPMD (automatic)** — place `PFState` arrays with
+   :func:`shard_pf_state` and call the ordinary `pf.update` under `jit`;
+   XLA partitions the vmapped dynamics/weighting and inserts collectives
+   for the reductions itself.
+2. **shard_map (explicit)** — :func:`sharded_update` /
+   :func:`sharded_forward_trajectory` spell out the collectives per the
+   scaling-book recipe; use when you want guaranteed comm placement.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..filters.particle import PFInfo, PFState, _uniform_weights
+from ..ops.logsumexp import effective_particles
+
+
+def particle_mesh(n_devices: Optional[int] = None, axis_name: str = "particles") -> Mesh:
+    """A 1-D device mesh over the particle axis."""
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else n_devices
+    return Mesh(np.array(devs[:n]), (axis_name,))
+
+
+def shard_pf_state(state: PFState, mesh: Mesh, axis_name: str = "particles") -> PFState:
+    """Place a PFState with particles/weights sharded over ``axis_name``.
+
+    ``t`` and ``key`` are replicated (every device must hold the same key so
+    the shared systematic-resampling offset agrees across shards).
+    """
+    sh = NamedSharding(mesh, P(axis_name))
+    rep = NamedSharding(mesh, P())
+    return PFState(
+        x=jax.device_put(state.x, NamedSharding(mesh, P(axis_name, None))),
+        w=jax.device_put(state.w, sh),
+        we=jax.device_put(state.we, sh),
+        t=jax.device_put(state.t, rep),
+        key=jax.device_put(state.key, rep),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit shard_map implementation
+# ---------------------------------------------------------------------------
+
+
+def _correct_local(pf, state, u, y, p, t, axis_name):
+    """Per-shard measurement update with global logsumexp normalization."""
+    y = jnp.asarray(y)
+    if hasattr(pf, "measurement_likelihood"):  # AdvancedParticleFilter
+        gl = pf.measurement_likelihood
+        logp = jax.vmap(lambda xi: gl(xi, u, y, p, t))(state.x)
+    else:
+        g = pf.measurement
+        yhat = jax.vmap(lambda xi: g(xi, u, p, t))(state.x)
+        logp = pf.measurement_density.logpdf(y - yhat)
+    missing = jnp.any(jnp.isnan(y))
+    w = jnp.where(missing, state.w, state.w + logp)
+    # distributed logsumexp: pmax offset, psum normalizer (utils.jl:18-27)
+    offset = jax.lax.pmax(jnp.max(w), axis_name)
+    we = jnp.exp(w - offset)
+    s = jax.lax.psum(jnp.sum(we), axis_name)
+    ll = jnp.log(s) + offset
+    w = w - offset - jnp.log(s)
+    we = we / s
+    ll = jnp.where(missing, jnp.zeros_like(ll), ll)
+    return state.replace(w=w, we=we), PFInfo(ll=ll, e=jnp.zeros_like(y))
+
+
+def _resample_global(state, pf, axis_name):
+    """Global systematic resampling across shards.
+
+    Returns the local slice of resampled particles.  The weight vector and
+    the particle block are all-gathered (gather-to-replicated regime).
+    """
+    n_shards = jax.lax.axis_size(axis_name)
+    shard = jax.lax.axis_index(axis_name)
+    M_loc = state.x.shape[0]
+    N = M_loc * n_shards
+    key, kr = jax.random.split(state.key)  # identical on all shards
+
+    we_all = jax.lax.all_gather(state.we, axis_name, tiled=True)  # [N]
+    bins = jnp.cumsum(we_all)
+    total = bins[-1]
+    r = jax.random.uniform(kr, (), dtype=we_all.dtype)
+    i_loc = shard * M_loc + jnp.arange(M_loc, dtype=we_all.dtype)
+    u_pts = (r + i_loc) / N * total
+    j = jnp.clip(jnp.searchsorted(bins, u_pts, side="right"), 0, N - 1)
+
+    x_all = jax.lax.all_gather(state.x, axis_name, tiled=True)  # [N, nx]
+    x_res = x_all[j]
+    # Effective-particle trigger on the global weights (resample.jl:5-10).
+    if pf.resample_threshold >= 1.0:
+        do = jnp.asarray(True)
+    else:
+        do = effective_particles(we_all) < pf.resample_threshold * N
+    x_out = jnp.where(do, x_res, state.x)
+    w0, we0 = _uniform_weights(M_loc, state.w.dtype)
+    lNratio = jnp.log(jnp.asarray(n_shards, state.w.dtype))
+    # local shards hold N-normalized weights: log(1/N) = log(1/M_loc) - log(S)
+    w = jnp.where(do, w0 - lNratio, state.w)
+    we = jnp.where(do, we0 / n_shards, state.we)
+    return x_out, w, we, key
+
+
+def _predict_local(pf, state, u, p, t, axis_name):
+    """Per-shard propagation after global resampling."""
+    x, w, we, key = _resample_global(state, pf, axis_name)
+    shard = jax.lax.axis_index(axis_name)
+    M_loc = x.shape[0]
+    key, kn = jax.random.split(key)
+    kn = jax.random.fold_in(kn, shard)  # decorrelate noise across shards
+    if hasattr(pf, "measurement_likelihood"):  # AdvancedParticleFilter
+        keys = jax.random.split(kn, M_loc)
+        xn = jax.vmap(lambda xi, ki: pf.dynamics(xi, u, p, t, ki))(x, keys)
+    else:
+        xn = jax.vmap(lambda xi: pf.dynamics(xi, u, p, t))(x)
+        if pf.dynamics_density is not None:
+            xn = xn + pf.dynamics_density.sample(kn, (M_loc,))
+    return PFState(x=xn, w=w, we=we, t=state.t + 1, key=key)
+
+
+def sharded_update(pf, state: PFState, u, y, p=None, t=None,
+                   mesh: Mesh = None, axis_name: str = "particles"):
+    """One correct+predict PF step under `shard_map` over the particle axis.
+
+    ``state`` must be sharded via :func:`shard_pf_state` (x/w/we split on
+    the leading axis, t/key replicated).
+    """
+    p = pf.p if p is None else p
+
+    st_spec = PFState(x=P(axis_name, None), w=P(axis_name), we=P(axis_name),
+                      t=P(), key=P())
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(st_spec, P(), P()),
+        out_specs=(
+            st_spec,
+            PFInfo(ll=P(), e=P()),
+            (P(axis_name, None), P(axis_name), P(axis_name)),
+        ),
+        check_vma=False,
+    )
+    def step(st, u_, y_):
+        tk = st.t * pf.Ts if t is None else t
+        st, info = _correct_local(pf, st, u_, y_, p, tk, axis_name)
+        filt = (st.x, st.w, st.we)  # filtered snapshot (post-correct)
+        st2 = _predict_local(pf, st, u_, p, tk, axis_name)
+        return st2, info, filt
+
+    u = jnp.zeros((0,), dtype=state.x.dtype) if u is None else jnp.asarray(u)
+    return step(state, u, jnp.asarray(y))
+
+
+def sharded_forward_trajectory(pf, u, y, key, mesh: Mesh,
+                               axis_name: str = "particles", p=None):
+    """Mesh-sharded PF batch filtering: `lax.scan` of :func:`sharded_update`
+    with per-step log-likelihood accumulation.  Returns ``(xs, ws, wes, ll)``
+    with the particle axes left sharded."""
+    y = jnp.asarray(y)
+    T = y.shape[0]
+    u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+    p = pf.p if p is None else p
+
+    state0 = shard_pf_state(pf.init(key), mesh, axis_name)
+
+    @jax.jit
+    def run(state0, u_seq, y):
+        def body(st, inp):
+            uk, yk = inp
+            st, info, (xf, wf, wef) = sharded_update(
+                pf, st, uk, yk, p=p, mesh=mesh, axis_name=axis_name
+            )
+            return st, (info.ll, xf, wf, wef)
+
+        st, (lls, xs, ws, wes) = jax.lax.scan(body, state0, (u_seq, y))
+        return xs, ws, wes, jnp.sum(lls)
+
+    return run(state0, u_seq, y)
