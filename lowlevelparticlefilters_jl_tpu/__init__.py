@@ -88,6 +88,14 @@ from .filters.particle import (
     PFState,
     PFInfo,
 )
+from .filters.enkf import (
+    EnsembleKalmanFilter,
+    EnKFState,
+    ensemble_mean,
+    ensemble_cov,
+)
+from .filters.imm import InteractingMultipleModels, IMM, IMMState, IMMInfo
+from .filters.uikf import UIKalmanFilter, UIKFInfo
 
 from .trajectory import (
     forward_trajectory,
