@@ -51,6 +51,11 @@ from .ops.discretize import (
     n_integrator_covariance_smooth,
 )
 from .ops.linalg import symmetrize, symmetrize_psd
+from .ops.constraints import (
+    project_bound,
+    truncated_moment_match,
+    truncated_scalar_moments,
+)
 
 from .filters.base import AbstractFilter, AbstractKalmanFilter, AbstractParticleFilter
 from .filters.kalman import KalmanFilter, KFState, KalmanInfo
@@ -118,6 +123,18 @@ from .smoothing import (
     smoothed_mean,
     smoothed_cov,
     smoothed_trajs,
+)
+
+from .paramest import (
+    triangular,
+    invtriangular,
+    reconstruct_filter,
+    prediction_errors,
+    log_likelihood_fun,
+    naive_sampler,
+    metropolis,
+    metropolis_parallel,
+    autotune_covariances,
 )
 
 from .utils.signal_names import SignalNames, default_names
