@@ -100,6 +100,7 @@ from .filters.enkf import (
     ensemble_cov,
 )
 from .filters.imm import InteractingMultipleModels, IMM, IMMState, IMMInfo
+from .filters.rbpf import RBPF, RBState, RBMeasurementModel
 from .filters.uikf import UIKalmanFilter, UIKFInfo
 
 from .trajectory import (
