@@ -101,6 +101,13 @@ from .filters.enkf import (
 )
 from .filters.imm import InteractingMultipleModels, IMM, IMMState, IMMInfo
 from .filters.rbpf import RBPF, RBState, RBMeasurementModel
+from .filters.mukf import MUKF, partition_cov, cond_linear_params
+from .filters.daeukf import (
+    DAEUnscentedKalmanFilter,
+    DAEUKFState,
+    DAEUKFInfo,
+    newton_constraint_solver,
+)
 from .filters.uikf import UIKalmanFilter, UIKFInfo
 
 from .trajectory import (
