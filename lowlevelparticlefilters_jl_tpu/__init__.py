@@ -133,6 +133,8 @@ from .smoothing import (
     smoothed_trajs,
 )
 
+from .parallel.temporal import parallel_forward_trajectory, parallel_rts_smooth
+
 from .paramest import (
     triangular,
     invtriangular,

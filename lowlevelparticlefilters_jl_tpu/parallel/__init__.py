@@ -7,3 +7,4 @@ from .sharded import (
     sharded_forward_trajectory,
 )
 from .bank import bank_mesh, bank_forward_trajectory, bank_loglik, shard_bank
+from .temporal import parallel_forward_trajectory, parallel_rts_smooth

@@ -1,0 +1,226 @@
+"""Temporal parallelization of Kalman filtering and RTS smoothing.
+
+The reference's `forward_trajectory` is an inherently sequential O(T) loop
+(/root/reference/src/filtering.jl:293-315) — the only option on a CPU.  On
+TPU the linear-Gaussian recursion is *associative* (Särkkä &
+García-Fernández, "Temporal Parallelization of Bayesian Smoothers",
+IEEE TAC 2021, arXiv:1905.13002; see PAPERS.md): filtering and smoothing
+both factor into elements combined by an associative operator, so
+`jax.lax.associative_scan` evaluates the whole pass in O(log T) depth with
+all the per-step 5-matrix algebra batched onto the MXU.
+
+This is an *acceleration layer*: `parallel_forward_trajectory` /
+`parallel_rts_smooth` reproduce the sequential results to numerical
+precision (validated in tests) and share the solution containers.
+
+Filtering element k: (A, b, C, η, J) such that
+    p(x_k | y_{1:k}) under composition;  combination (⊗):
+    D = (I + C1 J2)⁻¹
+    A = A2 D A1,          b = A2 D (b1 + C1 η2) + b2,  C = A2 D C1 A2ᵀ + C2
+    η = A1ᵀ Dᵀ (η2 − J2 b1) + η1,   J = A1ᵀ Dᵀ J2 A1 + J1
+After the scan, b_k / C_k are the filtered mean/covariance.
+
+Smoothing element k: (E, g, L) with reverse combination
+    (E_i, g_i, L_i) ∘ (E_j, g_j, L_j) = (E_i E_j, E_i g_j + g_i,
+                                         E_i L_j E_iᵀ + L_i)
+giving the smoothed mean/covariance g_k / L_k.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.linalg import symmetrize, chol_lower, rdiv_chol
+from ..ops.matrices import resolve_mat
+from ..ops.mvnormal import mvnormal_logpdf
+from ..utils.solutions import KalmanFilteringSolution, KalmanSmoothingSolution
+
+
+def _resolve_seq(M, x0, u_seq, tvec, p):
+    """Resolve a get_mat-style spec into a stacked [T, ...] array."""
+    if M is None:
+        return None
+    if isinstance(M, jax.Array) and M.ndim == 2:
+        return jnp.broadcast_to(M, (tvec.shape[0], *M.shape))
+    return jax.vmap(lambda u, t: resolve_mat(M, x0, u, p, t))(u_seq, tvec)
+
+
+def _filter_elements(F, c, H, Q, R, y, m0, P0):
+    """Per-step associative filtering elements (§III-B of the paper),
+    adapted to this package's correct-then-predict convention
+    (filtering.jl:293-315): the first measurement updates the *prior*
+    directly, and the transition entering step k is the one resolved at
+    step k−1.
+    """
+    T, nx = c.shape
+    eye = jnp.eye(nx, dtype=c.dtype)
+
+    def generic(Fk, ck, Hk, Qk, Rk, yk):
+        # element k≥1: filtered_{k-1} → predict (F_{k-1}) → update (y_k)
+        S = symmetrize(Hk @ Qk @ Hk.T) + Rk
+        Sch = chol_lower(S)
+        K = rdiv_chol(Qk @ Hk.T, Sch)
+        A = (eye - K @ Hk) @ Fk
+        b = ck + K @ (yk - Hk @ ck)
+        C = symmetrize((eye - K @ Hk) @ Qk)
+        HtSinv = rdiv_chol(Hk.T, Sch)
+        eta = Fk.T @ HtSinv @ (yk - Hk @ ck)
+        J = symmetrize(Fk.T @ HtSinv @ Hk @ Fk)
+        return A, b, C, eta, J
+
+    A, b, C, eta, J = jax.vmap(generic)(F[:-1], c[:-1], H[1:], Q[:-1], R[1:], y[1:])
+
+    # element 0: measurement update of the prior (no prediction first)
+    S0 = symmetrize(H[0] @ P0 @ H[0].T) + R[0]
+    S0ch = chol_lower(S0)
+    K0 = rdiv_chol(P0 @ H[0].T, S0ch)
+    b0 = m0 + K0 @ (y[0] - H[0] @ m0)
+    C0 = symmetrize((eye - K0 @ H[0]) @ P0)
+    A = jnp.concatenate([jnp.zeros((1, nx, nx), A.dtype), A], axis=0)
+    b = jnp.concatenate([b0[None], b], axis=0)
+    C = jnp.concatenate([C0[None], C], axis=0)
+    eta = jnp.concatenate([jnp.zeros((1, nx), eta.dtype), eta], axis=0)
+    J = jnp.concatenate([jnp.zeros((1, nx, nx), J.dtype), J], axis=0)
+    return A, b, C, eta, J
+
+
+def _filter_combine(e1, e2):
+    A1, b1, C1, eta1, J1 = e1
+    A2, b2, C2, eta2, J2 = e2
+    nx = A1.shape[-1]
+    eye = jnp.eye(nx, dtype=A1.dtype)
+    M = eye + C1 @ J2                       # D = M⁻¹
+    A2_D = jnp.linalg.solve(M.mT, A2.mT).mT  # A2 D
+    G = jnp.linalg.solve(M, A1)              # Gᵀ = A1ᵀ Dᵀ
+    A = A2_D @ A1
+    b = jnp.einsum("...ij,...j->...i", A2_D, b1 + jnp.einsum("...ij,...j->...i", C1, eta2)) + b2
+    C = A2_D @ C1 @ A2.mT + C2
+    eta = jnp.einsum(
+        "...ji,...j->...i", G,
+        eta2 - jnp.einsum("...ij,...j->...i", J2, b1),
+    ) + eta1
+    J = jnp.einsum("...ji,...jk->...ik", G, J2 @ A1) + J1
+    C = 0.5 * (C + C.mT)
+    J = 0.5 * (J + J.mT)
+    return A, b, C, eta, J
+
+
+def parallel_forward_trajectory(kf, u, y, p=None) -> KalmanFilteringSolution:
+    """O(log T)-depth Kalman filtering pass via `lax.associative_scan`.
+
+    Matches :func:`...trajectory.kalman_forward_trajectory` outputs
+    (x, xt, R, Rt, ll, e, S, K) for constant or stacked/callable
+    time-varying system matrices that do not depend on the state.
+    """
+    y = jnp.asarray(y)
+    T = y.shape[0]
+    u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+    p = kf.p if p is None else p
+    Ts = getattr(kf, "Ts", 1.0)
+    tvec = jnp.arange(T) * Ts
+    m0, P0 = kf.d0.mean, kf.d0.cov
+    nx = m0.shape[-1]
+
+    F = _resolve_seq(kf.A, m0, u_seq, tvec, p)
+    B = _resolve_seq(kf.B, m0, u_seq, tvec, p)
+    H = _resolve_seq(kf.C, m0, u_seq, tvec, p)
+    D = _resolve_seq(kf.D, m0, u_seq, tvec, p)
+    Q = _resolve_seq(kf.R1, m0, u_seq, tvec, p)
+    R = _resolve_seq(kf.R2, m0, u_seq, tvec, p)
+    c = (
+        jnp.einsum("tij,tj->ti", B, u_seq)
+        if (B is not None and u_seq.shape[-1])
+        else jnp.zeros((T, nx), dtype=y.dtype)
+    )
+    y_eff = y - jnp.einsum("tij,tj->ti", D, u_seq) if D is not None else y
+
+    elems = _filter_elements(F, c, H, Q, R, y_eff, m0, P0)
+    A_, b_, C_, eta_, J_ = jax.lax.associative_scan(_filter_combine, elems)
+    xt, Rt = b_, C_  # filtered moments
+
+    # predicted moments, innovations, gains — all vectorized post-hoc.
+    # x[0] is the prior (correct-then-predict: sol.x stores x(k|k−1) with
+    # x(0|−1) = d0), later steps use the step-(k−1) transition.
+    x_pred = jnp.concatenate(
+        [m0[None], jnp.einsum("tij,tj->ti", F[:-1], xt[:-1]) + c[:-1]], axis=0
+    )
+    R_pred = jnp.concatenate(
+        [P0[None],
+         symmetrize(jnp.einsum("tij,tjk,tlk->til", F[:-1], Rt[:-1], F[:-1]))
+         + Q[:-1]],
+        axis=0,
+    )
+    e = y_eff - jnp.einsum("tij,tj->ti", H, x_pred)
+    S = symmetrize(jnp.einsum("tij,tjk,tlk->til", H, R_pred, H)) + R
+    Schol = jnp.linalg.cholesky(S)
+    K = jax.vmap(rdiv_chol)(jnp.einsum("tij,tkj->tik", R_pred, H), Schol)
+    lls = jax.vmap(lambda ek, Lk: mvnormal_logpdf(ek, jnp.zeros_like(ek), Lk))(e, Schol)
+    ok = jnp.all(jnp.isfinite(xt), axis=-1)
+    return KalmanFilteringSolution(
+        u=u_seq, y=y, x=x_pred, xt=xt, R=R_pred, Rt=Rt, ll=jnp.sum(lls),
+        e=e, K=K, S=S, extra=None, t=tvec, ok=ok,
+    )
+
+
+def _smooth_elements(F, c, Q, xt, Rt):
+    """Per-step associative smoothing elements (§IV of the paper)."""
+
+    def generic(Fk, ck, Qk, mk, Pk):
+        Pp = symmetrize(Fk @ Pk @ Fk.T) + Qk
+        E = rdiv_chol(Pk @ Fk.T, chol_lower(Pp))
+        g = mk - E @ (Fk @ mk + ck)
+        L = symmetrize(Pk - E @ Fk @ Pk)
+        return E, g, L
+
+    # element k uses the step-k transition (k→k+1), matching the
+    # sequential smoother's resolve-at-step-k (smoothing.jl:17-22)
+    E, g, L = jax.vmap(generic)(F[:-1], c[:-1], Q[:-1], xt[:-1], Rt[:-1])
+    # last element: identity at the filtered terminal state
+    E = jnp.concatenate([E, jnp.zeros_like(E[-1:])], axis=0)
+    g = jnp.concatenate([g, xt[-1:]], axis=0)
+    L = jnp.concatenate([L, Rt[-1:]], axis=0)
+    return E, g, L
+
+
+def _smooth_combine(ei, ej):
+    """Reverse-direction combination: element i (earlier) absorbs j."""
+    E1, g1, L1 = ei
+    E2, g2, L2 = ej
+    E = E1 @ E2
+    g = jnp.einsum("...ij,...j->...i", E1, g2) + g1
+    L = symmetrize(E1 @ L2 @ jnp.swapaxes(E1, -1, -2) + L1)
+    return E, g, L
+
+
+def parallel_rts_smooth(kf, u, y, p=None, sol: Optional[KalmanFilteringSolution] = None):
+    """O(log T)-depth RTS smoother: parallel filter pass + reverse
+    `associative_scan` (arXiv:1905.13002 §IV).  Returns a
+    :class:`KalmanSmoothingSolution` matching the sequential smoother."""
+    if sol is None:
+        sol = parallel_forward_trajectory(kf, u, y, p)
+    y = jnp.asarray(sol.y)
+    T = y.shape[0]
+    u_seq = sol.u
+    p = kf.p if p is None else p
+    Ts = getattr(kf, "Ts", 1.0)
+    tvec = jnp.arange(T) * Ts
+    m0 = kf.d0.mean
+    nx = m0.shape[-1]
+
+    F = _resolve_seq(kf.A, m0, u_seq, tvec, p)
+    B = _resolve_seq(kf.B, m0, u_seq, tvec, p)
+    Q = _resolve_seq(kf.R1, m0, u_seq, tvec, p)
+    c = (
+        jnp.einsum("tij,tj->ti", B, u_seq)
+        if (B is not None and u_seq.shape[-1])
+        else jnp.zeros((T, nx), dtype=y.dtype)
+    )
+    elems = _smooth_elements(F, c, Q, sol.xt, sol.Rt)
+    # reverse=True feeds operands as (later-suffix, earlier-element); our
+    # combination is written (earlier, later), so swap.
+    _, g, L = jax.lax.associative_scan(
+        lambda a, b: _smooth_combine(b, a), elems, reverse=True
+    )
+    return KalmanSmoothingSolution(sol=sol, xT=g, RT=L)

@@ -178,3 +178,79 @@ class TestFilterBank:
         eps = 1e-5
         fd = (nll(A[0, 0] + eps) - nll(A[0, 0] - eps)) / (2 * eps)
         np.testing.assert_allclose(float(g), float(fd), rtol=1e-3)
+
+
+class TestTemporalParallel:
+    """O(log T) associative-scan KF/RTS must reproduce the sequential
+    results to numerical precision (Sarkka & Garcia-Fernandez 2021)."""
+
+    def _kf(self):
+        A = jnp.array([[0.97043, -0.097368], [0.097368, 0.970437]])
+        B = jnp.array([[0.1], [0.0]])
+        C = jnp.array([[1.0, 0.3], [0.0, 1.0]])
+        D = jnp.array([[0.05], [0.0]])
+        return llpf.KalmanFilter(
+            A, B, C, D, 0.01 * jnp.eye(2), 0.1 * jnp.eye(2),
+            d0=llpf.MvNormal(jnp.array([0.3, -0.2]), 0.5 * jnp.eye(2)),
+        )
+
+    def test_filter_matches_sequential(self):
+        kf = self._kf()
+        us = 0.5 * jnp.sin(0.2 * jnp.arange(300))[:, None]
+        _, _, ys = llpf.simulate(kf, us, jax.random.PRNGKey(0))
+        s_seq = llpf.forward_trajectory(kf, us, ys)
+        s_par = llpf.parallel_forward_trajectory(kf, us, ys)
+        for name in ("x", "xt", "R", "Rt", "e", "S", "K"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(s_par, name)),
+                np.asarray(getattr(s_seq, name)), atol=1e-10,
+            )
+        np.testing.assert_allclose(float(s_par.ll), float(s_seq.ll), rtol=1e-12)
+
+    def test_smoother_matches_sequential(self):
+        kf = self._kf()
+        us = 0.5 * jnp.sin(0.2 * jnp.arange(257))[:, None]  # non-power-of-2 T
+        _, _, ys = llpf.simulate(kf, us, jax.random.PRNGKey(1))
+        ss_seq = llpf.smooth(kf, us, ys)
+        ss_par = llpf.parallel_rts_smooth(kf, us, ys)
+        np.testing.assert_allclose(
+            np.asarray(ss_par.xT), np.asarray(ss_seq.xT), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(ss_par.RT), np.asarray(ss_seq.RT), atol=1e-10
+        )
+
+    def test_time_varying_matrices(self):
+        """Callable A(t) resolves per step identically to the scan loop."""
+        base = self._kf()
+        A0 = jnp.array([[0.97043, -0.097368], [0.097368, 0.970437]])
+        kf = llpf.KalmanFilter(
+            lambda x, u, p, t: A0 * (1.0 + 0.001 * t),
+            jnp.array([[0.1], [0.0]]), jnp.eye(2), 0,
+            0.01 * jnp.eye(2), 0.1 * jnp.eye(2),
+            d0=llpf.MvNormal(jnp.zeros(2), 0.5 * jnp.eye(2)), nx=2, ny=2,
+        )
+        us = 0.3 * jnp.ones((100, 1))
+        _, _, ys = llpf.simulate(base, us, jax.random.PRNGKey(2))
+        s_seq = llpf.forward_trajectory(kf, us, ys)
+        s_par = llpf.parallel_forward_trajectory(kf, us, ys)
+        np.testing.assert_allclose(
+            np.asarray(s_par.xt), np.asarray(s_seq.xt), atol=1e-10
+        )
+
+    def test_grad_through_parallel_loglik(self):
+        kf = self._kf()
+        us = 0.3 * jnp.ones((50, 1))
+        _, _, ys = llpf.simulate(kf, us, jax.random.PRNGKey(3))
+
+        def nll_par(r1s):
+            kfp = kf.replace(R1=r1s * jnp.eye(2))
+            return -llpf.parallel_forward_trajectory(kfp, us, ys).ll
+
+        def nll_seq(r1s):
+            kfp = kf.replace(R1=r1s * jnp.eye(2))
+            return -llpf.loglik(kfp, us, ys)
+
+        g_par = float(jax.grad(nll_par)(0.01))
+        g_seq = float(jax.grad(nll_seq)(0.01))
+        np.testing.assert_allclose(g_par, g_seq, rtol=1e-8)
