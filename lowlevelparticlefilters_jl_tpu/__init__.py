@@ -147,6 +147,40 @@ from .paramest import (
     autotune_covariances,
 )
 
+from .ops.distributions import (
+    Normal,
+    Uniform,
+    Laplace,
+    StudentT,
+    Binary,
+    MixtureNormal,
+    TupleProduct,
+)
+
+from .utils.diagnostics import (
+    innovation_rms,
+    compute_nis,
+    nis_bounds,
+    autocor,
+    crosscor,
+    validation_stats,
+    kde,
+)
+from .utils.analysis import (
+    linearize,
+    observability,
+    controllability,
+    obsv,
+    ctrb,
+    dare,
+    dlyap,
+    kalman_gain,
+    covar,
+    kalman_filter_from_ss,
+)
+from .utils.checkpoint import save_pytree, load_pytree, resume_state
+from .utils import plotting  # matplotlib-gated; access via llpf.plotting.*
+
 from .utils.signal_names import SignalNames, default_names
 from .utils.solutions import (
     KalmanFilteringSolution,
