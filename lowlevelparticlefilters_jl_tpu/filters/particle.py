@@ -189,6 +189,7 @@ class ParticleFilter(_ParticleCommon):
     Ts: float = static_field(default=1.0)
     nu: int = static_field(default=-1)
     ny: int = static_field(default=-1)
+    noise_backend: str = static_field(default="threefry")
 
     def __post_init__(self):
         o = object.__setattr__
@@ -196,6 +197,8 @@ class ParticleFilter(_ParticleCommon):
             v = getattr(self, name)
             if v is not None:
                 o(self, name, as_mvnormal(v))
+        if self.noise_backend not in ("threefry", "pallas"):
+            raise ValueError("noise_backend must be 'threefry' or 'pallas'")
 
     @property
     def nx(self) -> int:
@@ -222,10 +225,21 @@ class ParticleFilter(_ParticleCommon):
         t = state.t * self.Ts if t is None else t
         x, did_resample, key = self._maybe_resample(state)
         f = self.dynamics
-        xn = jax.vmap(lambda xi: f(xi, u, p, t))(x)
-        if self.dynamics_density is not None:
+        if self.noise_backend == "pallas" and self.dynamics_density is not None:
+            # fused VMEM propagate + hardware-PRNG noise (ops/pallas/noise.py)
+            from ..ops.pallas.noise import propagate_gaussian
+
             key, kn = jax.random.split(key)
-            xn = xn + self.dynamics_density.sample(kn, (self.N,))
+            seed = jax.random.randint(kn, (), 0, jnp.int32(2**31 - 1))
+            dyn_b = jax.vmap(lambda xi: f(xi, u, p, t))
+            xn = propagate_gaussian(
+                dyn_b, x, self.dynamics_density.chol(), seed
+            ).astype(x.dtype)
+        else:
+            xn = jax.vmap(lambda xi: f(xi, u, p, t))(x)
+            if self.dynamics_density is not None:
+                key, kn = jax.random.split(key)
+                xn = xn + self.dynamics_density.sample(kn, (self.N,))
         w0, we0 = _uniform_weights(self.N, state.w.dtype)
         w = jnp.where(did_resample, w0, state.w)
         we = jnp.where(did_resample, we0, state.we)

@@ -1,0 +1,134 @@
+"""Pallas TPU kernels: hardware-PRNG Gaussian noise + fused particle
+propagation.
+
+The particle filter's time update draws N·nx Gaussians per step
+(/root/reference/src/PFtypes.jl:122-139 draws them per particle with a
+stored RNG).  JAX's default threefry bits are computed on the VPU; the TPU
+has a *hardware* PRNG exposed through `pltpu.prng_random_bits` which is
+substantially cheaper.  These kernels:
+
+- :func:`pallas_normal` — standard normals via hardware bits + Box-Muller,
+- :func:`propagate_gaussian` — one fused VMEM pass doing
+  ``dyn_batched(x) + z @ cholᵀ`` with in-kernel noise generation, so the
+  propagated particles never round-trip through HBM between the dynamics
+  evaluation and the noise add.
+
+Both fall back to `interpret=True` off-TPU (semantics validated in the
+test suite on CPU; performance only matters on device).  Counter-based
+determinism: the caller supplies an int32 seed, typically derived from a
+JAX key via `jax.random.randint` or a step counter.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = 6.283185307179586
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _normal_kernel(seed_ref, out_ref):
+    pltpu.prng_seed(seed_ref[0])
+    shape = out_ref.shape
+    # Box-Muller from two uint32 draws; u1 in (0,1], u2 in [0,1).
+    b1 = pltpu.prng_random_bits(shape)
+    b2 = pltpu.prng_random_bits(shape)
+    u1 = (b1.astype(jnp.float32) + 2147483648.0 + 1.0) / 4294967297.0
+    u2 = (b2.astype(jnp.float32) + 2147483648.0) / 4294967296.0
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    out_ref[:] = r * jnp.cos(_TWO_PI * u2)
+
+
+def pallas_normal(seed, shape, force_kernel: bool = False) -> jax.Array:
+    """Standard-normal array from the TPU hardware PRNG (f32).
+
+    ``seed``: int32 scalar array; same seed → same bits (counter-based).
+    Off-TPU this falls back to threefry (`jax.random.normal`) — the
+    interpret-mode hardware PRNG is stubbed to zeros, so only the real
+    device exercises the kernel (``force_kernel=True`` runs it in
+    interpret mode anyway, for lowering tests).
+    """
+    if not _on_tpu() and not force_kernel:
+        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
+        return jax.random.normal(key, shape, jnp.float32)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        _normal_kernel,
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=pltpu.InterpretParams() if not _on_tpu() else False,
+    )(seed)
+
+
+def propagate_gaussian(
+    dyn_batched: Callable,
+    x: jax.Array,
+    chol_R1: jax.Array,
+    seed,
+    force_kernel: bool = False,
+) -> jax.Array:
+    """Fused ``dyn_batched(x) + N(0, R1)`` in one VMEM pass.
+
+    - ``dyn_batched``: vectorized dynamics ``[N, nx] -> [N, nx]`` built
+      from pure jnp ops (traced into the kernel),
+    - ``chol_R1``: lower Cholesky factor of the process noise,
+    - ``seed``: int32 scalar (vary per step, e.g. fold in the time index).
+
+    Off-TPU (``force_kernel=False``) the same math runs as plain XLA with
+    threefry noise, so CPU tests validate the fused semantics.
+    """
+    N, nx = x.shape
+    if not _on_tpu() and not force_kernel:
+        xn = dyn_batched(jnp.asarray(x, jnp.float32))
+        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
+        z = jax.random.normal(key, (N, nx), jnp.float32)
+        return xn + z @ jnp.asarray(chol_R1, jnp.float32).T
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    chol = jnp.asarray(chol_R1, jnp.float32)
+    x = jnp.asarray(x, jnp.float32)
+    # Pallas kernels may not capture array values — hoist both closed-over
+    # *tracers* (closure_convert; e.g. u/t inside a scan body) and literal
+    # array constants (jaxpr consts; e.g. a system matrix) into inputs.
+    dyn_cc, tracer_consts = jax.closure_convert(dyn_batched, x)
+    closed = jax.make_jaxpr(dyn_cc)(x, *tracer_consts)
+    lit_consts = [jnp.asarray(c) for c in closed.consts]
+    consts = [*lit_consts, *tracer_consts]
+    n_lit = len(lit_consts)
+
+    def dyn_flat(xx, *cs):
+        (out,) = jax.core.eval_jaxpr(closed.jaxpr, cs[:n_lit], xx, *cs[n_lit:])
+        return out
+
+    def kernel(seed_ref, x_ref, chol_ref, *rest):
+        *const_refs, out_ref = rest
+        pltpu.prng_seed(seed_ref[0])
+        xn = dyn_flat(x_ref[:], *[c[:] for c in const_refs])
+        b1 = pltpu.prng_random_bits((N, nx))
+        b2 = pltpu.prng_random_bits((N, nx))
+        u1 = (b1.astype(jnp.float32) + 2147483648.0 + 1.0) / 4294967297.0
+        u2 = (b2.astype(jnp.float32) + 2147483648.0) / 4294967296.0
+        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+        out_ref[:] = xn + jnp.dot(
+            z, chol_ref[:].T, preferred_element_type=jnp.float32
+        )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, nx), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + len(consts)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=pltpu.InterpretParams() if not _on_tpu() else False,
+    )(seed, x, chol, *consts)

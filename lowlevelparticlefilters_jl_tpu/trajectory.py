@@ -324,3 +324,16 @@ def mode_trajectory(x: jax.Array, we: jax.Array) -> jax.Array:
     """Highest-weight particle per step ([T, N, nx] → [T, nx])."""
     idx = jnp.argmax(we, axis=-1)
     return jnp.take_along_axis(x, idx[..., None, None], axis=-2)[..., 0, :]
+
+
+def simulate_ensemble(f, u, key: jax.Array, n_runs: int, p=None, **kwargs):
+    """N-run Monte-Carlo simulation — the MonteCarloMeasurements-extension
+    analogue (/root/reference/ext/LowLevelParticleFiltersMonteCarloMeasurementsExt.jl:10-31):
+    instead of `Particles` uncertainty types, returns stacked arrays
+    ``(x [n_runs, T, nx], u [T, nu], y [n_runs, T, ny])`` — the natural
+    JAX representation of a trajectory ensemble (reduce with mean/std/
+    quantiles along axis 0).
+    """
+    keys = jax.random.split(key, n_runs)
+    xs, us, ys = jax.vmap(lambda k: simulate(f, u, k, p, **kwargs))(keys)
+    return xs, us[0], ys

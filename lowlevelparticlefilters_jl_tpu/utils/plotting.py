@@ -247,3 +247,28 @@ def commandplot(pf, sol, **kwargs):
     T = np.asarray(sol.x).shape[0]
     for k in range(T):
         yield debugplot(pf, sol, steps=[k], **kwargs)
+
+
+def sampleplot(f, u, key, n_runs: int = 10, p=None, dims=None, ax=None):
+    """Prior-predictive check: overlay ``n_runs`` simulated state
+    trajectories from the filter's generative model
+    (/root/reference/src/filtering.jl:479-525)."""
+    plt = _plt()
+    from ..trajectory import simulate_ensemble
+
+    xs, _, _ = simulate_ensemble(f, u, key, n_runs, p)
+    xs = np.asarray(xs)
+    nx = xs.shape[-1]
+    dims = range(nx) if dims is None else dims
+    if ax is None:
+        fig, axes = plt.subplots(len(list(dims)), 1, squeeze=False,
+                                 figsize=(8, 2.0 * nx))
+        axes = axes[:, 0]
+    else:
+        axes = [ax]
+        fig = ax.figure
+    for ax_i, d in zip(axes, dims):
+        ax_i.plot(xs[:, :, d].T, alpha=0.5, lw=0.8)
+        ax_i.set_ylabel(f"x{d+1}")
+    fig.suptitle("prior predictive samples")
+    return fig

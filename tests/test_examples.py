@@ -1,0 +1,48 @@
+"""Examples-as-tests (the reference runs its examples inside the suite,
+runtests.jl:684-703)."""
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_EX = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_EX, name + ".py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_lineargaussian_example():
+    mod = _load("example_lineargaussian")
+    sol, ssol, sol_pf = mod.main()
+    # PF at N=10k reproduces the exact KF loglik closely
+    assert abs(float(sol_pf.ll) - float(sol.ll)) < 0.02 * abs(float(sol.ll))
+
+
+def test_quadtank_example():
+    mod = _load("example_quadtank")
+    sol_ukf, sol_ekf, ssol, sol_pf, xs = mod.main()
+    import jax.numpy as jnp
+
+    rmse = lambda est: float(jnp.sqrt(jnp.mean((est - xs) ** 2)))
+    # UKF ≈ EKF on this mildly nonlinear system; smoothing improves RMSE
+    assert abs(float(sol_ukf.ll) - float(sol_ekf.ll)) < 0.05 * abs(float(sol_ukf.ll))
+    assert rmse(ssol.xT) < rmse(sol_ukf.xt)
+
+
+def test_beetle_example():
+    mod = _load("example_beetle")
+    sol, xs = mod.main()
+    import jax.numpy as jnp
+    import lowlevelparticlefilters_jl_tpu as llpf
+
+    m = llpf.mean_trajectory(sol.x, sol.we)
+    pos_rmse = float(jnp.sqrt(jnp.mean((m[:, :2] - xs[:, :2]) ** 2)))
+    assert pos_rmse < 0.3
