@@ -77,22 +77,27 @@ class _ParticleCommon(AbstractParticleFilter):
         trigger (resample.jl:5-10) as a `where` select so the scan body
         stays shape-static.
 
-        The systematic strategy takes the fused monotone-gather path
-        (ops/resample.py:resample_systematic_gather) — on TPU the index
-        gather alone costs ~1.5 ms at N=1e5 while the fused form is ~1 µs.
+        The Neff trigger is a `lax.cond`, not a `where`-select: XLA executes
+        only the taken branch at runtime, so the resampling cost (~1 ms at
+        N=1e5 on TPU, dominated by the permutation) is paid only on the
+        steps that actually resample — with the reference-default
+        threshold 0.1 that is every ~10-30 steps.
         """
         N = self.N
         key, kr = jax.random.split(state.key)
-        if self.resampling_strategy == "systematic":
-            x_res = resample_systematic_gather(state.x, state.we, kr)
-        else:
-            j = resample(state.we, kr, N, strategy=self.resampling_strategy)
-            x_res = state.x[j]
+
+        def do_resample(ops):
+            x, we = ops
+            if self.resampling_strategy == "systematic":
+                return resample_systematic_gather(x, we, kr)
+            j = resample(we, kr, N, strategy=self.resampling_strategy)
+            return x[j]
+
         if self.resample_threshold >= 1.0:
-            return x_res, jnp.asarray(True), key
+            return do_resample((state.x, state.we)), jnp.asarray(True), key
         neff = effective_particles(state.we)
         do = neff < self.resample_threshold * N
-        x = jnp.where(do, x_res, state.x)
+        x = jax.lax.cond(do, do_resample, lambda ops: ops[0], (state.x, state.we))
         return x, do, key
 
     def forward_trajectory(self, u, y, p=None, *, pre_correct_cb=None,

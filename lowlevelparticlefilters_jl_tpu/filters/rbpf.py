@@ -214,16 +214,21 @@ class RBPF(AbstractParticleFilter):
         if not self.single_riccati:
             flat.append(state.R.reshape(N, -1))
         X = jnp.concatenate(flat, axis=-1)
-        if self.resampling_strategy == "systematic":
-            X_res = resample_systematic_gather(X, state.we, kr)
-        else:
-            j = resample(state.we, kr, N, strategy=self.resampling_strategy)
-            X_res = X[j]
+
+        def do_resample(ops):
+            X, we = ops
+            if self.resampling_strategy == "systematic":
+                return resample_systematic_gather(X, we, kr)
+            j = resample(we, kr, N, strategy=self.resampling_strategy)
+            return X[j]
+
         if self.resample_threshold >= 1.0:
             do = jnp.asarray(True)
+            X = do_resample((X, state.we))
         else:
+            # runtime-skipped branch: resampling cost only on trigger steps
             do = effective_particles(state.we) < self.resample_threshold * N
-        X = jnp.where(do, X_res, X)
+            X = jax.lax.cond(do, do_resample, lambda ops: ops[0], (X, state.we))
         xn = X[:, : self.nxn]
         xl = X[:, self.nxn : self.nxn + self.nxl]
         R = state.R if self.single_riccati else X[:, self.nxn + self.nxl :].reshape(
