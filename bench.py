@@ -104,14 +104,20 @@ def bench_ukf(T=50_000):
 
     run = jax.jit(lambda ys: llpf.loglik(ukf, None, ys))
     dt = _timeit(run, ys)
-    return T / dt, dt
+
+    # the TPU-native execution mode: a bank of 1024 independent UKF passes
+    Bk, Tb = 1024, 1000
+    ysb = jax.random.normal(jax.random.PRNGKey(1), (Bk, Tb, 2), dtype=jnp.float32)
+    runb = jax.jit(lambda ysb: jax.vmap(lambda y: llpf.loglik(ukf, None, y))(ysb))
+    dtb = _timeit(runb, ysb)
+    return T / dt, dt, Bk * Tb / dtb
 
 
 def main():
     pf_rate, pf_dt = bench_pf()
     pf_rate_full, pf_dt_full = bench_pf(resample_threshold=1.0)
     kf_rate, kf_dt = bench_kf_bank()
-    ukf_rate, ukf_dt = bench_ukf()
+    ukf_rate, ukf_dt, ukf_bank_rate = bench_ukf()
     out = {
         "metric": "bootstrap_pf_particle_steps_per_s_N1e5",
         "value": round(pf_rate, 1),
@@ -127,6 +133,10 @@ def main():
             "kf_bank1024_walltime_s_T200": round(kf_dt, 4),
             "ukf_steps_per_s_T50k": round(ukf_rate, 1),
             "ukf_vs_julia_baseline": round(ukf_rate / BASELINE_UKF_STEPS_PER_S, 3),
+            "ukf_bank1024_steps_per_s": round(ukf_bank_rate, 1),
+            "ukf_bank1024_vs_julia_baseline": round(
+                ukf_bank_rate / BASELINE_UKF_STEPS_PER_S, 2
+            ),
             "device": jax.devices()[0].device_kind,
         },
     }

@@ -118,7 +118,8 @@ def sigmapoints(
     """
     L = m.shape[-1]
     W = ukf_weights(params, L)
-    X = chol(W.W * Sigma) if chol is not None else jnp.linalg.cholesky(
+    from ..ops.linalg import chol_lower as _chol_lower
+    X = chol(W.W * Sigma) if chol is not None else _chol_lower(
         symmetrize(W.W * Sigma)
     )
     dev = X.T  # rows are scaled covariance columns

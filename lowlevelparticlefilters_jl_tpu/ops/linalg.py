@@ -25,20 +25,74 @@ def symmetrize_psd(X: jax.Array, eps: float = 1e-12) -> jax.Array:
     return (vecs * vals[..., None, :]) @ jnp.swapaxes(vecs, -1, -2)
 
 
+# Dimension up to which factorizations/solves use fully unrolled
+# elementwise formulas instead of lax.linalg kernels.  State/measurement
+# dimensions in this domain are typically 1-10; the batched LAPACK-style
+# kernels XLA emits for such tiny matrices are loop-heavy on TPU, while
+# the unrolled forms are pure VPU code that fuses into the surrounding
+# scan body (the StaticArrays analogue, cf. docs/benchstatic.md).
+_UNROLL_N = 8
+
+
+def _chol_unrolled(S: jax.Array) -> jax.Array:
+    """Cholesky–Banachiewicz with static-dimension unrolling; batched over
+    leading axes as plain elementwise arithmetic."""
+    n = S.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    zero = jnp.zeros_like(S[..., 0, 0])
+    for i in range(n):
+        for j in range(i + 1):
+            s = S[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = jnp.sqrt(s) if i == j else s / L[j][j]
+    rows = [
+        jnp.stack([L[i][j] if j <= i else zero for j in range(n)], -1)
+        for i in range(n)
+    ]
+    return jnp.stack(rows, -2)
+
+
+def _tri_solve_unrolled(L: jax.Array, B: jax.Array, *, lower: bool) -> jax.Array:
+    """Unrolled forward/back substitution; ``B``: [..., n, m]."""
+    n = L.shape[-1]
+    order = range(n) if lower else range(n - 1, -1, -1)
+    z: list = [None] * n
+    for i in order:
+        s = B[..., i, :]
+        ks = range(i) if lower else range(i + 1, n)
+        for k in ks:
+            s = s - L[..., i, k, None] * z[k]
+        z[i] = s / L[..., i, i, None]
+    return jnp.stack(z, -2)
+
+
 def chol_lower(S: jax.Array) -> jax.Array:
     """Lower Cholesky factor of a symmetric matrix.
 
     Under jit we cannot raise like the reference does on factorization
     failure (filtering.jl:113); failure produces NaNs that propagate into
-    the solution's validity (see `KalmanFilteringSolution.ok`).
+    the solution's validity (see `KalmanFilteringSolution.ok`).  Small
+    static dimensions use the unrolled VPU form.
     """
-    return jnp.linalg.cholesky(symmetrize(S))
+    S = symmetrize(S)
+    if S.shape[-1] <= _UNROLL_N:
+        return _chol_unrolled(S)
+    return jnp.linalg.cholesky(S)
+
+
+def tri_solve(L: jax.Array, B: jax.Array, *, lower: bool = True) -> jax.Array:
+    """Triangular solve with the small-dimension unrolled fast path."""
+    if L.shape[-1] <= _UNROLL_N:
+        return _tri_solve_unrolled(L, B, lower=lower)
+    return jax.scipy.linalg.solve_triangular(L, B, lower=lower)
 
 
 def chol_solve(L: jax.Array, B: jax.Array) -> jax.Array:
     """Solve (L L^T) X = B given lower Cholesky factor L."""
-    y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.mT if hasattr(L, "mT") else jnp.swapaxes(L, -1, -2), y, lower=False)
+    y = tri_solve(L, B, lower=True)
+    Lt = L.mT if hasattr(L, "mT") else jnp.swapaxes(L, -1, -2)
+    return tri_solve(Lt, y, lower=False)
 
 
 def rdiv_chol(B: jax.Array, L: jax.Array) -> jax.Array:

@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .linalg import chol_lower, tri_solve
 from ..utils.struct import struct, field
 
 _LOG2PI = 1.8378770664093453
@@ -30,12 +31,10 @@ def mvnormal_logpdf(x: jax.Array, mean: jax.Array, chol: jax.Array) -> jax.Array
     if chol.ndim == 2 and d.ndim > 1:
         # One multi-RHS solve for the whole batch: L Z = Dᵀ.
         batch_shape = d.shape[:-1]
-        z = jax.scipy.linalg.solve_triangular(
-            chol, d.reshape(-1, k).T, lower=True
-        )
+        z = tri_solve(chol, d.reshape(-1, k).T, lower=True)
         quad = jnp.sum(jnp.square(z), axis=0).reshape(batch_shape)
     else:
-        z = jax.scipy.linalg.solve_triangular(
+        z = tri_solve(
             jnp.broadcast_to(chol, (*d.shape[:-1], k, k)), d[..., None], lower=True
         )[..., 0]
         quad = jnp.sum(jnp.square(z), axis=-1)
@@ -45,7 +44,7 @@ def mvnormal_logpdf(x: jax.Array, mean: jax.Array, chol: jax.Array) -> jax.Array
 
 def mvnormal_logpdf_cov(x: jax.Array, mean: jax.Array, cov: jax.Array) -> jax.Array:
     """logpdf of N(mean, cov) at x (factorizes cov on the fly)."""
-    return mvnormal_logpdf(x, mean, jnp.linalg.cholesky(cov))
+    return mvnormal_logpdf(x, mean, chol_lower(cov))
 
 
 @struct
@@ -65,7 +64,7 @@ class MvNormal:
         return self.mean.shape[-1]
 
     def chol(self) -> jax.Array:
-        return jnp.linalg.cholesky(self.cov)
+        return chol_lower(self.cov)
 
     def logpdf(self, x: jax.Array) -> jax.Array:
         return mvnormal_logpdf(x, self.mean, self.chol())
