@@ -111,12 +111,23 @@ def propagate_gaussian(
         (out,) = jax.core.eval_jaxpr(closed.jaxpr, cs[:n_lit], xx, *cs[n_lit:])
         return out
 
+    # Block over the particle axis so VMEM holds one tile at a time
+    # (a monolithic N=1e5 block spills registers and exceeds VMEM).
+    # Pick the largest divisor of N up to 8192 that satisfies the Mosaic
+    # sublane constraint (divisible by 8); fall back to the whole array.
+    # The user dynamics must be rowwise (per-particle), which the PF
+    # contract already guarantees.
+    BLK = next(
+        (b for b in range(min(N, 8192) // 8 * 8, 0, -8) if N % b == 0), N
+    )
+    grid = (N // BLK,)
+
     def kernel(seed_ref, x_ref, chol_ref, *rest):
         *const_refs, out_ref = rest
-        pltpu.prng_seed(seed_ref[0])
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))  # per-block stream
         xn = dyn_flat(x_ref[:], *[c[:] for c in const_refs])
-        b1 = pltpu.prng_random_bits((N, nx))
-        b2 = pltpu.prng_random_bits((N, nx))
+        b1 = pltpu.prng_random_bits((BLK, nx))
+        b2 = pltpu.prng_random_bits((BLK, nx))
         u1 = (b1.astype(jnp.float32) + 2147483648.0 + 1.0) / 4294967297.0
         u2 = (b2.astype(jnp.float32) + 2147483648.0) / 4294967296.0
         z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
@@ -127,8 +138,12 @@ def propagate_gaussian(
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N, nx), jnp.float32),
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + len(consts)),
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        + [pl.BlockSpec((BLK, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((nx, nx), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(c.shape, (lambda i, _c=c: tuple(0 for _ in _c.shape)),
+                        memory_space=pltpu.VMEM) for c in consts],
+        out_specs=pl.BlockSpec((BLK, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=pltpu.InterpretParams() if not _on_tpu() else False,
     )(seed, x, chol, *consts)
