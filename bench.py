@@ -113,11 +113,36 @@ def bench_ukf(T=50_000):
     return T / dt, dt, Bk * Tb / dtb
 
 
+def bench_ffbs(N=1000, M=1000, T=500):
+    """FFBS particle smoother — the reference's most compute-intensive
+    routine (O(T·M·N) weight evaluations, smoothing.jl:129-141); the
+    Gaussian fast path turns the weight matrix into an MXU matmul."""
+    A = jnp.array([[0.97043, -0.097368], [0.097368, 0.970437]], dtype=jnp.float32)
+    B = jnp.array([[0.1], [0.0]], dtype=jnp.float32)
+    R1 = 0.01 * jnp.eye(2, dtype=jnp.float32)
+    R2 = 0.1 * jnp.eye(2, dtype=jnp.float32)
+    pf = llpf.ParticleFilter(
+        N=N,
+        dynamics=lambda x, u, p, t: A @ x + B @ u,
+        measurement=lambda x, u, p, t: x,
+        dynamics_density=R1,
+        measurement_density=R2,
+        initial_density=R1,
+    )
+    kf = llpf.KalmanFilter(A, B, jnp.eye(2, dtype=jnp.float32), 0, R1, R2)
+    _, us, ys = llpf.simulate(kf, 0.3 * jnp.ones((T, 1), jnp.float32),
+                              jax.random.PRNGKey(0))
+    run = jax.jit(lambda k: pf.smooth(us, ys, M=M, key=k)[0])
+    dt = _timeit(run, jax.random.key(3, impl="rbg"))
+    return T * M * N / dt, dt
+
+
 def main():
     pf_rate, pf_dt = bench_pf()
     pf_rate_full, pf_dt_full = bench_pf(resample_threshold=1.0)
     kf_rate, kf_dt = bench_kf_bank()
     ukf_rate, ukf_dt, ukf_bank_rate = bench_ukf()
+    ffbs_rate, ffbs_dt = bench_ffbs()
     out = {
         "metric": "bootstrap_pf_particle_steps_per_s_N1e5",
         "value": round(pf_rate, 1),
@@ -133,6 +158,7 @@ def main():
             "kf_bank1024_walltime_s_T200": round(kf_dt, 4),
             "ukf_steps_per_s_T50k": round(ukf_rate, 1),
             "ukf_vs_julia_baseline": round(ukf_rate / BASELINE_UKF_STEPS_PER_S, 3),
+            "ffbs_weight_evals_per_s_MN1000_T500": round(ffbs_rate, 1),
             "ukf_bank1024_steps_per_s": round(ukf_bank_rate, 1),
             "ukf_bank1024_vs_julia_baseline": round(
                 ukf_bank_rate / BASELINE_UKF_STEPS_PER_S, 2

@@ -115,10 +115,21 @@ def ffbs_smooth(pf, sol, M: int, key: jax.Array, u=None, y=None, p=None):
 
     The reference's O(T·M·N) double loop (smoothing.jl:129-141) becomes a
     reversed scan over t whose body computes the full (M, N) backward
-    log-weight matrix with broadcasting and draws M categoricals at once.
+    log-weight matrix and draws M categoricals at once.
+
+    For Gaussian dynamics noise the quadratic form expands as
+
+        ‖xb_m − xp_n‖²_{Σ⁻¹} = c_m + c_n − 2·(Xb Σ⁻¹ Xpᵀ)_{mn}
+
+    so the (M, N) weight matrix is ONE [M,nx]×[nx,N] matmul plus rank-1
+    broadcasts — the whole smoother rides the MXU instead of
+    materializing an [M, N, nx] difference tensor.  Non-Gaussian densities
+    fall back to the broadcast form.
 
     Returns ``(xb, ll)`` with ``xb`` of shape [T, M, nx].
     """
+    from .ops.mvnormal import MvNormal
+
     xf, wf = sol.x, sol.w  # [T, N, nx], [T, N] (log-weights)
     u = sol.u if u is None else jnp.asarray(u)
     T, N, nx = xf.shape
@@ -126,6 +137,10 @@ def ffbs_smooth(pf, sol, M: int, key: jax.Array, u=None, y=None, p=None):
     Ts = getattr(pf, "Ts", 1.0)
     f = pf.dynamics
     df = pf.dynamics_density
+    gaussian = isinstance(df, MvNormal)
+    if gaussian:
+        Sinv = jnp.linalg.inv(df.cov)
+        mu = df.mean
 
     key, k0 = jax.random.split(key)
     from .ops.resample import resample
@@ -138,9 +153,17 @@ def ffbs_smooth(pf, sol, M: int, key: jax.Array, u=None, y=None, p=None):
         xf_t, wf_t, u_t, t_t = inp
         # mean of x_{t+1} given each forward particle: [N, nx]
         xpred = jax.vmap(lambda xn: f(xn, u_t, p, t_t))(xf_t)
-        # (M, N) log-weights: wf[n] + logpdf(df, xb[m] - xpred[n])
-        diff = xb_next[:, None, :] - xpred[None, :, :]  # [M, N, nx]
-        logp = df.logpdf(diff.reshape(M * N, nx)).reshape(M, N)
+        if gaussian:
+            # quadratic-form expansion → MXU matmul (up to the shared
+            # normalization constant, irrelevant to the categorical draw)
+            db = xb_next - mu
+            cm = jnp.einsum("mi,ij,mj->m", db, Sinv, db)
+            cn = jnp.einsum("ni,ij,nj->n", xpred, Sinv, xpred)
+            cross = db @ Sinv @ xpred.T  # [M, N] — the MXU contraction
+            logp = -0.5 * (cm[:, None] + cn[None, :]) + cross
+        else:
+            diff = xb_next[:, None, :] - xpred[None, :, :]  # [M, N, nx]
+            logp = df.logpdf(diff.reshape(M * N, nx)).reshape(M, N)
         wb = wf_t[None, :] + logp
         key, kd = jax.random.split(key)
         i = jax.random.categorical(kd, wb, axis=-1)  # [M]
