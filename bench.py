@@ -137,12 +137,30 @@ def bench_ffbs(N=1000, M=1000, T=500):
     return T * M * N / dt, dt
 
 
+def bench_parallel_kf(T=100_000):
+    """O(log T) associative-scan KF vs the sequential scan on one long
+    trajectory (Sarkka & Garcia-Fernandez temporal parallelization)."""
+    A = jnp.array([[0.97043, -0.097368], [0.097368, 0.970437]], dtype=jnp.float32)
+    B = jnp.array([[0.1], [0.0]], dtype=jnp.float32)
+    kf = llpf.KalmanFilter(A, B, jnp.eye(2, dtype=jnp.float32), 0,
+                           0.01 * jnp.eye(2, dtype=jnp.float32),
+                           0.1 * jnp.eye(2, dtype=jnp.float32))
+    us = 0.3 * jnp.ones((T, 1), jnp.float32)
+    ys = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (T, 2), jnp.float32)
+    seq = jax.jit(lambda u, y: llpf.forward_trajectory(kf, u, y).ll)
+    par = jax.jit(lambda u, y: llpf.parallel_forward_trajectory(kf, u, y).ll)
+    dt_seq = _timeit(seq, us, ys)
+    dt_par = _timeit(par, us, ys)
+    return dt_seq / dt_par, dt_seq, dt_par
+
+
 def main():
     pf_rate, pf_dt = bench_pf()
     pf_rate_full, pf_dt_full = bench_pf(resample_threshold=1.0)
     kf_rate, kf_dt = bench_kf_bank()
     ukf_rate, ukf_dt, ukf_bank_rate = bench_ukf()
     ffbs_rate, ffbs_dt = bench_ffbs()
+    pkf_speedup, pkf_seq, pkf_par = bench_parallel_kf()
     out = {
         "metric": "bootstrap_pf_particle_steps_per_s_N1e5",
         "value": round(pf_rate, 1),
@@ -159,6 +177,8 @@ def main():
             "ukf_steps_per_s_T50k": round(ukf_rate, 1),
             "ukf_vs_julia_baseline": round(ukf_rate / BASELINE_UKF_STEPS_PER_S, 3),
             "ffbs_weight_evals_per_s_MN1000_T500": round(ffbs_rate, 1),
+            "parallel_kf_speedup_T1e5": round(pkf_speedup, 2),
+            "parallel_kf_walltime_s_T1e5": round(pkf_par, 4),
             "ukf_bank1024_steps_per_s": round(ukf_bank_rate, 1),
             "ukf_bank1024_vs_julia_baseline": round(
                 ukf_bank_rate / BASELINE_UKF_STEPS_PER_S, 2

@@ -226,3 +226,117 @@ def test_sigma_point_rejection(data):
                         reject=reject)
     sol = llpf.forward_trajectory(ukf, u, y)
     assert bool(sol.ok.all())
+
+
+def test_augmented_measurement_equals_additive(data):
+    """AUGM (noise through the measurement fn) ≡ additive UKF on an
+    additive model (test_ukf.jl:169-178 measurement side)."""
+    kf, xs, us, ys = data
+    ukf_add = llpf.make_ukf(lin_dyn, lin_meas, R1, R2, d0=d0(), nu=1, ny=1)
+    ukf_augm = llpf.make_ukf(
+        lin_dyn, lambda x, u, p, t, e: jnp.asarray(C) @ x + e,
+        R1, R2, d0=d0(), nu=1, ny=1, augmented_measurement=True,
+    )
+    s1 = llpf.forward_trajectory(ukf_add, us, ys)
+    s2 = llpf.forward_trajectory(ukf_augm, us, ys)
+    np.testing.assert_allclose(np.asarray(s2.xt), np.asarray(s1.xt), atol=1e-8)
+    np.testing.assert_allclose(float(s2.ll), float(s1.ll), rtol=1e-9)
+
+
+def test_manifold_circular_state():
+    """Custom state/measurement mean+innovation hooks for an angle state
+    (the reference's manifold/custom-UT workflow, ukf.jl:357-367):
+    a standard UKF breaks at the ±π wrap, the circular UKF tracks it."""
+    R1a = jnp.array([[0.05]])
+    R2a = jnp.array([[0.1]])
+    omega = 0.3
+
+    def dyn(x, u, p, t):
+        return x + omega
+
+    def meas(x, u, p, t):
+        return x
+
+    def wrap(a):
+        return jnp.mod(a + jnp.pi, 2 * jnp.pi) - jnp.pi
+
+    def circ_mean(xs, W):
+        # weighted mean on the circle via the embedding
+        s = W.wm * jnp.sin(xs[0]) + W.wmi * jnp.sum(jnp.sin(xs[1:]), axis=0)
+        c = W.wm * jnp.cos(xs[0]) + W.wmi * jnp.sum(jnp.cos(xs[1:]), axis=0)
+        return jnp.arctan2(s, c)
+
+    def circ_cov(xs, m, W):
+        d = wrap(xs - m)
+        w = jnp.concatenate([jnp.full((1,), W.wc, xs.dtype),
+                             jnp.full((xs.shape[0] - 1,), W.wci, xs.dtype)])
+        return jnp.einsum("s,si,sj->ij", w, d, d)
+
+    def circ_cross(xs, xm, ys, ym, W):
+        dx = wrap(xs - xm)
+        dy = wrap(ys - ym)
+        w = jnp.concatenate([jnp.full((1,), W.wc, xs.dtype),
+                             jnp.full((xs.shape[0] - 1,), W.wci, xs.dtype)])
+        return jnp.einsum("s,si,sj->ij", w, dx, dy)
+
+    d0a = llpf.MvNormal(jnp.array([3.0]), jnp.array([[0.1]]))
+    ukf_circ = llpf.make_ukf(
+        dyn, meas, R1a, R2a, d0=d0a, nu=0, ny=1,
+        state_mean=circ_mean, state_cov=circ_cov,
+        measurement_mean=circ_mean, measurement_cov=circ_cov,
+        cross_cov=circ_cross,
+        innovation=lambda y, yh: wrap(y - yh),
+    )
+    # simulate a wrapped angle trajectory crossing ±π
+    T = 40
+    rng = np.random.default_rng(0)
+    ang = 3.0
+    ys, angs = [], []
+    for k in range(T):
+        angs.append(ang)
+        ys.append(wrap(jnp.array([ang + 0.3 * rng.standard_normal()])))
+        ang = float(wrap(jnp.asarray(ang + omega + 0.2 * rng.standard_normal())))
+    ys = jnp.stack(ys)
+    state = ukf_circ.init()
+    errs = []
+    for k in range(T):
+        state, _ = ukf_circ.correct(state, None, ys[k])
+        errs.append(abs(float(wrap(jnp.asarray(state.x[0] - angs[k])))))
+        state = ukf_circ.predict(state, None)
+        state = state.replace(x=wrap(state.x))
+    # tracks through the wrap: errors stay bounded by the noise level
+    assert max(errs[5:]) < 1.0, max(errs[5:])
+
+
+def test_pluggable_cholesky(data):
+    """cholesky_fn override (ukf.jl:369-381): a regularized factorization
+    keeps the filter running on a rank-deficient covariance."""
+    kf, xs, us, ys = data
+    R1_sing = np.array([[0.01, 0.0], [0.0, 0.0]])  # rank-1 process noise
+
+    def reg_chol(S):
+        return jnp.linalg.cholesky(S + 1e-9 * jnp.eye(S.shape[-1]))
+
+    ukf = llpf.make_ukf(lin_dyn, lin_meas, R1_sing, R2, d0=d0(), nu=1, ny=1,
+                        cholesky_fn=reg_chol)
+    sol = llpf.forward_trajectory(ukf, us, ys)
+    assert bool(sol.ok.all())
+
+
+def test_iekf_iterations_help_on_strong_nonlinearity():
+    """More GN iterations improve the measurement update when the
+    measurement is strongly nonlinear (iekf.jl:63-120 semantics)."""
+    R1a = jnp.array([[0.01]])
+    R2a = jnp.array([[0.01]])
+    d0a = llpf.MvNormal(jnp.array([1.2]), jnp.array([[0.25]]))
+    meas = lambda x, u, p, t: x**3
+    dyn = lambda x, u, p, t: x
+    lls = {}
+    for iters in (1, 10):
+        iekf = llpf.make_iekf(dyn, meas, R1a, R2a, d0=d0a, nu=0, ny=1,
+                              maxiters=iters)
+        state = iekf.init()
+        # true x = 2.0, y = 8.0: far from the prior mean, strong curvature
+        state, info = iekf.correct(state, None, jnp.array([8.0]))
+        lls[iters] = abs(float(state.x[0]) - 2.0)
+    assert lls[10] < lls[1], lls
