@@ -254,3 +254,35 @@ class TestTemporalParallel:
         g_par = float(jax.grad(nll_par)(0.01))
         g_seq = float(jax.grad(nll_seq)(0.01))
         np.testing.assert_allclose(g_par, g_seq, rtol=1e-8)
+
+
+class TestPallasResampleKernel:
+    """The experimental in-VMEM resample kernel: interpret-mode semantics
+    match the XLA counting-sort oracle up to fp CDF ties (the kernel is
+    not wired into filters; see its module docstring for hardware status)."""
+
+    def test_interpret_matches_oracle(self):
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.resample_kernel import (
+            pallas_resample_gather, _xla_reference,
+        )
+        for N in (16384, 50_000):
+            we = jax.random.uniform(jax.random.PRNGKey(0), (N,))
+            we = (we / we.sum()).astype(jnp.float32)
+            x = jax.random.normal(jax.random.PRNGKey(1), (N, 2), jnp.float32)
+            ref = np.asarray(_xla_reference(x, we, 0.37))
+            out = np.asarray(pallas_resample_gather(x, we, 0.37, force_kernel=True))
+            frac_off = (np.abs(out - ref).max(axis=1) > 1e-5).mean()
+            assert frac_off < 0.01, frac_off  # fp-tie level only
+
+    def test_default_path_is_exact(self):
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.resample_kernel import (
+            pallas_resample_gather, _xla_reference,
+        )
+        N = 4096
+        we = jax.random.uniform(jax.random.PRNGKey(2), (N,))
+        we = (we / we.sum()).astype(jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(3), (N, 3), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(pallas_resample_gather(x, we, 0.5)),
+            np.asarray(_xla_reference(x, we, 0.5)),
+        )
