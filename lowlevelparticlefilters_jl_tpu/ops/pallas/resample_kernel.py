@@ -30,16 +30,17 @@ rounding, so a few slots per 1e4 may resolve to the neighboring particle
 versus the XLA reference - statistically immaterial (both are valid
 systematic resamples of an eps-perturbed CDF).
 
-STATUS (2026-08-16, v5e): the kernel compiles and runs on hardware but
-produces a large index miscompare versus the interpret-mode/XLA oracle
-(~70% of rows at N=1e5, vs the expected ~0.4% fp-tie rate) and is slower
-than the XLA counting-sort path (1.97 ms vs 1.23 ms per executed resample
-in a T=512 scan).  It is therefore NOT wired into any filter:
-`pallas_resample_gather` always takes the XLA path unless
-``force_kernel=True`` is passed explicitly.  Kept as a working example of
-Mosaic-compatible prefix-sum / blocked-merge structure for future rounds;
-the hardware miscompare is most likely in the 3-D ref slicing of the
-transposed-blocked particle buffer or the while_loop chunk bookkeeping.
+STATUS (2026-08-16, v5e): compiles and runs on hardware.  The CDF
+matmuls MUST use ``precision=HIGHEST`` — the v5e MXU computes f32
+matmuls in bf16 passes by default, which perturbs the CDF enough to
+shift ~70% of slots; with HIGHEST the hardware output matches the XLA
+oracle to fp-tie level (~0.9% of slots resolve to the adjacent particle,
+statistically unbiased).  Wall-clock is ~2.0 ms per resample at N=1e5 vs
+~1.2 ms for the XLA counting-sort path — the [8,128,128] broadcast
+compares in the count/gather loops are VPU-bound.  Therefore NOT wired
+into any filter: `pallas_resample_gather` takes the XLA path unless
+``force_kernel=True``.  Kept as validated groundwork (Mosaic-compatible
+prefix sums, blocked monotone merge) for a future fused PF-step kernel.
 """
 from __future__ import annotations
 
@@ -80,11 +81,13 @@ def _write_slot_boundaries(we_ref, k_scratch, r, N, Ntrue):
         rp = jax.lax.dot_general(
             wg, ones_u, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [128,128] lane-inclusive prefix per row
         rsums = jax.lax.slice(rp, (0, 127), (128, 128))  # [128,1]
         row_off = jax.lax.dot_general(
             ones_sl, rsums, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [128,1] exclusive prefix over the group's rows
         cdf_g = rp + row_off + g_off
         k_scratch[pl.ds(g * 128, 128), :] = jnp.clip(
