@@ -5,6 +5,8 @@ from .sharded import (
     shard_pf_state,
     sharded_update,
     sharded_forward_trajectory,
+    shard_enkf_state,
+    sharded_enkf_update,
 )
 from .bank import bank_mesh, bank_forward_trajectory, bank_loglik, shard_bank
 from .temporal import parallel_forward_trajectory, parallel_rts_smooth

@@ -203,3 +203,87 @@ def sharded_forward_trajectory(pf, u, y, key, mesh: Mesh,
         return xs, ws, wes, jnp.sum(lls)
 
     return run(state0, u_seq, y)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded EnKF — the ensemble axis distributes like particles
+# ---------------------------------------------------------------------------
+
+
+def shard_enkf_state(state, mesh: Mesh, axis_name: str = "particles"):
+    """Place an EnKFState with members sharded over ``axis_name``."""
+    from ..filters.enkf import EnKFState
+
+    return EnKFState(
+        X=jax.device_put(state.X, NamedSharding(mesh, P(axis_name, None))),
+        t=jax.device_put(state.t, NamedSharding(mesh, P())),
+        key=jax.device_put(state.key, NamedSharding(mesh, P())),
+    )
+
+
+def sharded_enkf_update(enkf, state, u, y, p=None, t=None,
+                        mesh: Mesh = None, axis_name: str = "particles"):
+    """One stochastic-EnKF correct+predict step under `shard_map`.
+
+    Member propagation and measurement evaluation are local; the ensemble
+    statistics are `psum`s of per-shard moment contributions (the anomaly
+    products ``XaᵀYa`` / ``YaᵀYa`` reduce over the member axis, so each
+    shard contributes an [nx, ny]-sized partial — tiny ICI traffic
+    regardless of ensemble size).
+    """
+    from ..filters.enkf import EnKFState
+    from ..ops.linalg import symmetrize, chol_lower, rdiv_chol
+    from ..ops.mvnormal import as_mvnormal
+    from ..ops.matrices import resolve_mat
+
+    p = enkf.p if p is None else p
+    N = enkf.N
+
+    st_spec = EnKFState(X=P(axis_name, None), t=P(), key=P())
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(st_spec, P(), P()),
+        out_specs=(st_spec, P()),
+        check_vma=False,
+    )
+    def step(st, u_, y_):
+        shard = jax.lax.axis_index(axis_name)
+        tk = st.t * enkf.Ts if t is None else t
+        X = st.X  # [N_loc, nx]
+        N_loc = X.shape[0]
+        xbar = jax.lax.pmean(jnp.mean(X, axis=0), axis_name)
+        R2 = resolve_mat(enkf.R2, xbar, u_, p, tk)
+        R1 = resolve_mat(enkf.R1, xbar, u_, p, tk)
+
+        # ---- correct (enkf.jl:279-356, distributed moments) -----------
+        h = enkf.measurement
+        Y = jax.vmap(lambda xi: h(xi, u_, p, tk))(X)
+        ybar = jax.lax.pmean(jnp.mean(Y, axis=0), axis_name)
+        Xa = X - xbar
+        Ya = Y - ybar
+        S = jax.lax.psum(Ya.T @ Ya, axis_name) / (N - 1)
+        S = symmetrize(S) + R2
+        Rxy = jax.lax.psum(Xa.T @ Ya, axis_name) / (N - 1)
+        Schol = chol_lower(S)
+        K = rdiv_chol(Rxy, Schol)
+        key, ke = jax.random.split(st.key)
+        eps = as_mvnormal(R2).sample(jax.random.fold_in(ke, shard), (N_loc,))
+        Xn = X + (y_ + eps - Y) @ K.T
+
+        # ---- predict (enkf.jl:228-269) ---------------------------------
+        key, kw = jax.random.split(key)
+        f = enkf.dynamics
+        Xp = jax.vmap(lambda xi: f(xi, u_, p, tk))(Xn)
+        Xp = Xp + as_mvnormal(R1).sample(jax.random.fold_in(kw, shard), (N_loc,))
+        m = jax.lax.pmean(jnp.mean(Xp, axis=0), axis_name)
+        Xp = m + enkf.inflation * (Xp - m)
+
+        from ..ops.mvnormal import mvnormal_logpdf
+
+        ll = mvnormal_logpdf(y_ - ybar, jnp.zeros_like(y_), Schol)
+        return EnKFState(X=Xp, t=st.t + 1, key=key), ll
+
+    u_arr = jnp.zeros((0,), dtype=state.X.dtype) if u is None else jnp.asarray(u)
+    return step(state, u_arr, jnp.asarray(y))

@@ -286,3 +286,36 @@ class TestPallasResampleKernel:
             np.asarray(pallas_resample_gather(x, we, 0.5)),
             np.asarray(_xla_reference(x, we, 0.5)),
         )
+
+
+class TestShardedEnKF:
+    def test_matches_kf_oracle(self, system):
+        """Mesh-sharded EnKF loglik ≈ exact KF on the linear system."""
+        from lowlevelparticlefilters_jl_tpu.parallel.sharded import (
+            particle_mesh, shard_enkf_state, sharded_enkf_update,
+        )
+
+        A, B, C, R1, R2 = system
+        d0 = llpf.MvNormal(jnp.zeros(2), jnp.eye(2))
+        enkf = llpf.EnsembleKalmanFilter(
+            dynamics=lambda x, u, p, t: A @ x + B @ u,
+            measurement=lambda x, u, p, t: C @ x,
+            R1=R1, R2=R2, d0=d0, N=2048, nu=1,
+        )
+        kf = llpf.KalmanFilter(A, B, C, 0, R1, R2, d0=d0)
+        _, us, ys = llpf.simulate(kf, 0.3 * jnp.ones((50, 1)), jax.random.PRNGKey(0))
+        mesh = particle_mesh(8)
+        state = shard_enkf_state(enkf.init(jax.random.PRNGKey(1)), mesh)
+
+        @jax.jit
+        def run(state, us, ys):
+            def body(st, inp):
+                uk, yk = inp
+                st, ll = sharded_enkf_update(enkf, st, uk, yk, mesh=mesh)
+                return st, ll
+            st, lls = jax.lax.scan(body, state, (us, ys))
+            return jnp.sum(lls)
+
+        ll_sh = float(run(state, us, ys))
+        ll_kf = float(llpf.loglik(kf, us, ys))
+        assert abs(ll_sh - ll_kf) < 0.05 * abs(ll_kf), (ll_sh, ll_kf)
