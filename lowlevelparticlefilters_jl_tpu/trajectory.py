@@ -229,7 +229,21 @@ def simulate(
     ``simulate(f, T, key, du=input_density)`` to sample random inputs —
     mirrors filtering.jl:457-477.  Returns stacked arrays
     (x: [T, nx], u: [T, nu], y: [T, ny]).
+
+    Filters whose measurement model carries an R12 cross-covariance
+    dispatch to their joint-noise simulator (ekf.jl:233-272) so the
+    generated data carries the modeled correlation.
     """
+    if (
+        hasattr(f, "simulate_correlated")
+        and getattr(getattr(f, "measurement_model", None), "R12", None) is not None
+        and not isinstance(u_or_T, int)
+        and dynamics_noise and measurement_noise
+    ):
+        return f.simulate_correlated(
+            u_or_T, key, p, dynamics_noise=dynamics_noise,
+            measurement_noise=measurement_noise, sample_initial=sample_initial,
+        )
     p = getattr(f, "p", None) if p is None else p
     if isinstance(u_or_T, int):
         if du is None:

@@ -340,3 +340,49 @@ def test_iekf_iterations_help_on_strong_nonlinearity():
         state, info = iekf.correct(state, None, jnp.array([8.0]))
         lls[iters] = abs(float(state.x[0]) - 2.0)
     assert lls[10] < lls[1], lls
+
+
+def test_ekf_r12_correlated_noise(rng):
+    """Filter with the R12 cross-covariance has lower estimation-error
+    variance on correlated-noise data (test_ekf.jl:364-449, Simon's
+    Example 7.1: x⁺=0.8x+w, y=x+v, E[wv]=0.25)."""
+    Ar = jnp.array([[0.8]])
+    Cr = jnp.array([[1.0]])
+    R1n = jnp.array([[1.0]])
+    R2n = jnp.array([[0.1]])
+    R12n = jnp.array([[0.25]])
+    d0n = llpf.MvNormal(jnp.zeros(1), jnp.eye(1))
+    dynr = lambda x, u, p, t: Ar @ x
+    hr = lambda x, u, p, t: Cr @ x
+    ekf_c = llpf.make_ekf(dynr, hr, R1n, R2n, d0=d0n, nu=1, ny=1, R12=R12n)
+    ekf_u = llpf.make_ekf(dynr, hr, R1n, R2n, d0=d0n, nu=1, ny=1)
+    u = jnp.zeros((400, 1))
+    xs, u, y = llpf.simulate(ekf_c, u, jax.random.PRNGKey(21))  # joint noise
+    sol_c = llpf.forward_trajectory(ekf_c, u, y)
+    sol_u = llpf.forward_trajectory(ekf_u, u, y)
+    var = lambda s: float(jnp.var(s.xt - xs))
+    assert var(sol_c) < var(sol_u), (var(sol_c), var(sol_u))
+    # UKF correcting through an EKF measurement model with R12 also wins
+    mm = llpf.EKFMeasurementModel(measurement=hr, R2=R2n, R12=R12n, ny=1)
+    ukf = llpf.make_ukf(dynr, mm, R1n, None, d0=d0n, nu=1, ny=1)
+    sol_ukf = llpf.forward_trajectory(ukf, u, y)
+    assert float(jnp.var(sol_ukf.xt - xs)) < var(sol_u)
+
+
+def test_kf_r12_matches_ekf_r12(rng):
+    """Linear KF with R12 ≡ EKF with R12 (same update algebra,
+    filtering.jl:106-116 vs ekf.jl:170-179)."""
+    R1n = 0.1 * np.eye(2)
+    R2n = np.array([[0.1]])
+    R12n = np.array([[0.09], [0.0]])
+    d0n = llpf.MvNormal(jnp.zeros(2), 0.1 * jnp.eye(2))
+    Cl = np.array([[1.0, 0.0]])
+    kf = llpf.KalmanFilter(A, B, Cl, 0, R1n, R2n, R12=jnp.asarray(R12n), d0=d0n)
+    h = lambda x, u, p, t: jnp.array([x[0]])
+    ekf = llpf.make_ekf(lin_dyn, h, R1n, R2n, d0=d0n, nu=1, ny=1, R12=jnp.asarray(R12n))
+    u = jnp.asarray(rng.normal(size=(100, 1)))
+    _, u, y = llpf.simulate(kf, u, jax.random.PRNGKey(22))
+    s1 = llpf.forward_trajectory(kf, u, y)
+    s2 = llpf.forward_trajectory(ekf, u, y)
+    np.testing.assert_allclose(np.asarray(s2.xt), np.asarray(s1.xt), atol=1e-8)
+    np.testing.assert_allclose(float(s2.ll), float(s1.ll), rtol=1e-10)
