@@ -27,6 +27,7 @@ from ..ops.linalg import symmetrize
 from ..ops.logsumexp import logsumexp_normalize
 from ..utils.signal_names import SignalNames
 from ..utils.struct import struct, field, static_field
+from ..trajectory import _as_u_seq
 from .base import AbstractFilter
 from .kalman import KalmanInfo
 
@@ -183,7 +184,7 @@ class InteractingMultipleModels(AbstractFilter):
 
         y = jnp.asarray(y)
         T = y.shape[0]
-        u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+        u_seq = _as_u_seq(u, T, y.dtype)
         p = self.p if p is None else p
         do_interact = self.interact if interact is None else interact
         tvec = jnp.arange(T) * self.Ts

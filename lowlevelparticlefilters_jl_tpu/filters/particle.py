@@ -24,6 +24,7 @@ from ..ops.mvnormal import MvNormal, as_mvnormal
 from ..ops.resample import resample, resample_systematic_gather
 from ..utils.solutions import ParticleFilteringSolution
 from ..utils.struct import struct, field, static_field
+from ..trajectory import _as_u_seq
 from .base import AbstractParticleFilter
 
 
@@ -107,7 +108,7 @@ class _ParticleCommon(AbstractParticleFilter):
         """PF batch filtering (filtering.jl:343-365): correct → save → predict."""
         y = jnp.asarray(y)
         T = y.shape[0]
-        u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+        u_seq = _as_u_seq(u, T, y.dtype)
         p = self.p if p is None else p
         if state0 is None:
             if key is None:
@@ -143,7 +144,7 @@ class _ParticleCommon(AbstractParticleFilter):
         """Low-memory total log-likelihood (smoothing.jl:227-230)."""
         y = jnp.asarray(y)
         T = y.shape[0]
-        u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+        u_seq = _as_u_seq(u, T, y.dtype)
         p = self.p if p is None else p
         if state0 is None:
             state0 = self.init(key)
@@ -429,7 +430,7 @@ class AuxiliaryParticleFilter(_ParticleCommon):
         y = jnp.asarray(y)
         T = y.shape[0]
         inner = self.pf
-        u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+        u_seq = _as_u_seq(u, T, y.dtype)
         p = inner.p if p is None else p
         if state0 is None:
             state0 = self.init(key)

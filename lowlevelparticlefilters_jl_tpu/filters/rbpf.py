@@ -36,6 +36,7 @@ from ..ops.resample import resample, resample_systematic_gather
 from ..utils.signal_names import SignalNames
 from ..utils.solutions import ParticleFilteringSolution
 from ..utils.struct import struct, field, static_field
+from ..trajectory import _as_u_seq
 from .base import AbstractParticleFilter
 from .kalman import KalmanFilter
 from .particle import PFInfo, _uniform_weights
@@ -304,7 +305,7 @@ class RBPF(AbstractParticleFilter):
         concatenated [xn; xl] cloud (RBParticle vector view, rbpf.jl:25-33)."""
         y = jnp.asarray(y)
         T = y.shape[0]
-        u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+        u_seq = _as_u_seq(u, T, y.dtype)
         p = self.p if p is None else p
         if state0 is None:
             if key is None:

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.mvnormal import MvNormal, as_mvnormal
-from .trajectory import loglik
+from .trajectory import loglik, _as_u_seq
 
 _LOG2PI = 1.8378770664093453
 
@@ -93,7 +93,7 @@ def prediction_errors(f, u, y, p=None, lam=1.0, *, loglik: bool = False,
     """
     y = jnp.asarray(y)
     T = y.shape[0]
-    u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+    u_seq = _as_u_seq(u, T, y.dtype)
     p = getattr(f, "p", None) if p is None else p
     Ts = getattr(f, "Ts", 1.0)
     tvec = jnp.arange(T) * Ts

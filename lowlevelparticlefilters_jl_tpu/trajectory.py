@@ -26,6 +26,21 @@ from .utils.solutions import KalmanFilteringSolution, ParticleFilteringSolution
 from .filters.base import AbstractKalmanFilter
 
 
+def _as_u_seq(u, T, dtype):
+    """Coerce the input sequence: None -> [T, 0] zeros; arrays -> asarray;
+    any other pytree (dict/tuple of per-step stacked leaves) passes through
+    untouched — `lax.scan` slices pytree xs natively, giving the
+    reference's arbitrary-u support (test_ukf.jl custom-u)."""
+    if u is None:
+        return jnp.zeros((T, 0), dtype=dtype)
+    if isinstance(u, (jnp.ndarray,)) or hasattr(u, "shape"):
+        return jnp.asarray(u)
+    import numpy as _np
+    if isinstance(u, (list, _np.ndarray)):
+        return jnp.asarray(u)
+    return u
+
+
 def _time_vector(f, T: int):
     Ts = getattr(f, "Ts", 1.0)
     return jnp.arange(T) * Ts
@@ -92,7 +107,7 @@ def kalman_forward_trajectory(
     """
     y = jnp.asarray(y)
     T = y.shape[0]
-    u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+    u_seq = _as_u_seq(u, T, y.dtype)
     tvec = _time_vector(kf, T)
     state0 = kf.init()
 
@@ -149,7 +164,7 @@ def loglik(f, u, y, p=None, **kwargs):
         return f.loglik(u, y, p, **kwargs)
     y = jnp.asarray(y)
     T = y.shape[0]
-    u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+    u_seq = _as_u_seq(u, T, y.dtype)
     tvec = _time_vector(f, T)
     state0 = f.init()
 
@@ -166,7 +181,7 @@ def sse(f, u, y, p=None, lam=1.0):
     """Sum of squared prediction errors ``Σ eᵀ λ e`` (smoothing.jl:153-160)."""
     y = jnp.asarray(y)
     T = y.shape[0]
-    u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+    u_seq = _as_u_seq(u, T, y.dtype)
     tvec = _time_vector(f, T)
     state0 = f.init()
     lam = jnp.asarray(lam)
@@ -191,7 +206,7 @@ def loglik_x(f, u, y, x, p=None):
     y = jnp.asarray(y)
     x = jnp.asarray(x)
     T = y.shape[0]
-    u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+    u_seq = _as_u_seq(u, T, y.dtype)
     tvec = _time_vector(f, T)
     state0 = f.init()
 

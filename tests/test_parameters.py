@@ -84,3 +84,35 @@ def test_vmap_over_p(filt):
     lls = jax.vmap(lambda p: llpf.loglik(filt, u1, y1, p=p))(ps)
     best = float(ps[jnp.argmax(lls)])
     assert abs(best - 0.5) <= 0.25  # grid resolution
+
+
+def test_pytree_inputs():
+    """Control inputs may be arbitrary pytrees (the reference allows any
+    per-step u object, test_ukf.jl custom-u): `lax.scan` slices pytree xs
+    natively, so dict-valued u flows through forward_trajectory/loglik."""
+    def dyn_u(x, u, p, t):
+        return A @ x + u["force"] * u["gain"]
+
+    ukf = llpf.make_ukf(dyn_u, meas, 0.01 * jnp.eye(2), jnp.eye(2),
+                        d0=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)),
+                        nu=2, ny=2)
+    T = 15
+    u_tree = {
+        "force": jax.random.normal(jax.random.PRNGKey(7), (T, 2)),
+        "gain": jnp.ones((T,)) * 0.5,
+    }
+    # matched flat-u filter as oracle
+    def dyn_flat(x, u, p, t):
+        return A @ x + 0.5 * u
+
+    ukf_flat = llpf.make_ukf(dyn_flat, meas, 0.01 * jnp.eye(2), jnp.eye(2),
+                             d0=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)),
+                             nu=2, ny=2)
+    ys = jax.random.normal(jax.random.PRNGKey(8), (T, 2)) * 0.5
+    sol_tree = llpf.forward_trajectory(ukf, u_tree, ys)
+    sol_flat = llpf.forward_trajectory(ukf_flat, u_tree["force"], ys)
+    np.testing.assert_allclose(
+        np.asarray(sol_tree.xt), np.asarray(sol_flat.xt), atol=1e-10
+    )
+    ll = llpf.loglik(ukf, u_tree, ys)
+    np.testing.assert_allclose(float(ll), float(sol_flat.ll), rtol=1e-10)
