@@ -133,7 +133,11 @@ from .smoothing import (
     smoothed_trajs,
 )
 
-from .parallel.temporal import parallel_forward_trajectory, parallel_rts_smooth
+from .parallel.temporal import (
+    parallel_forward_trajectory,
+    parallel_rts_smooth,
+    parallel_iekf_smooth,
+)
 
 from .paramest import (
     triangular,

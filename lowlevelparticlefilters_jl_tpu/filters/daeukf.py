@@ -171,7 +171,7 @@ class DAEUnscentedKalmanFilter(AbstractKalmanFilter):
         """Mandela-2010 time update (ukf.jl:1251-1306)."""
         p = self.p if p is None else p
         t = state.t * self.Ts if t is None else t
-        R1 = resolve_mat(self.R1, state.x, u, p, t) if R1 is None else R1
+        R1 = resolve_mat(self.R1, state.x, u, p, t, Ts=self.Ts) if R1 is None else R1
         nx = self.nx
         W = ukf_weights(self.weight_params, nx)
 
@@ -202,7 +202,7 @@ class DAEUnscentedKalmanFilter(AbstractKalmanFilter):
         p = self.p if p is None else p
         t = state.t * self.Ts if t is None else t
         y = jnp.asarray(y)
-        R2 = resolve_mat(self.R2, state.x, u, p, t) if R2 is None else R2
+        R2 = resolve_mat(self.R2, state.x, u, p, t, Ts=self.Ts) if R2 is None else R2
         W = ukf_weights(self.weight_params, self.nx)
         xzs = state.xzs
 
@@ -235,7 +235,7 @@ class DAEUnscentedKalmanFilter(AbstractKalmanFilter):
         xz1 = self.dynamics(xz, u, p, t)
         if noise:
             x1, z1 = self.get_x_z(xz1)
-            R1 = resolve_mat(self.R1, x1, u, p, t)
+            R1 = resolve_mat(self.R1, x1, u, p, t, Ts=self.Ts)
             x1 = x1 + as_mvnormal(R1).sample(key)
             xz1, _ = self.calc_xz(xz1, u, p, t, x1)
         return xz1
@@ -243,6 +243,6 @@ class DAEUnscentedKalmanFilter(AbstractKalmanFilter):
     def sample_measurement(self, key, x, u, p=None, t=0, noise=True):
         yy = self.measurement(x, u, p, t)
         if noise:
-            R2 = resolve_mat(self.R2, self.get_x_z(x)[0], u, p, t)
+            R2 = resolve_mat(self.R2, self.get_x_z(x)[0], u, p, t, Ts=self.Ts)
             yy = yy + as_mvnormal(R2).sample(key)
         return yy

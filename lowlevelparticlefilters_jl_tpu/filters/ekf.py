@@ -88,7 +88,7 @@ class ExtendedKalmanFilter(AbstractKalmanFilter):
         p = self.p if p is None else p
         t = state.t * self.Ts if t is None else t
         x, R = state.x, state.R
-        R1 = resolve_mat(self.R1, x, u, p, t) if R1 is None else R1
+        R1 = resolve_mat(self.R1, x, u, p, t, Ts=self.Ts) if R1 is None else R1
         a = self.alpha if alpha is None else alpha
         A = self._Ajac(x, u, p, t)
         xn = self.dynamics(x, u, p, t)
@@ -139,14 +139,14 @@ class ExtendedKalmanFilter(AbstractKalmanFilter):
     def sample_state(self, key, x, u, p=None, t=0, noise=True):
         xn = self.dynamics(x, u, p, t)
         if noise:
-            xn = xn + as_mvnormal(resolve_mat(self.R1, x, u, p, t)).sample(key)
+            xn = xn + as_mvnormal(resolve_mat(self.R1, x, u, p, t, Ts=self.Ts)).sample(key)
         return xn
 
     def sample_measurement(self, key, x, u, p=None, t=0, noise=True):
         mm = self.measurement_model
         y = mm(x, u, p, t)
         if noise:
-            y = y + as_mvnormal(resolve_mat(mm.R2, x, u, p, t)).sample(key)
+            y = y + as_mvnormal(resolve_mat(mm.R2, x, u, p, t, Ts=self.Ts)).sample(key)
         return y
 
     def simulate_correlated(self, u, key, p=None, *, dynamics_noise=True,
@@ -175,9 +175,9 @@ class ExtendedKalmanFilter(AbstractKalmanFilter):
         def step(carry, inp):
             x_prev, first = carry
             uk_prev, tk_prev, kk = inp
-            R1 = resolve_mat(self.R1, x_prev, uk_prev, p, tk_prev)
-            R2 = resolve_mat(mm.R2, x_prev, uk_prev, p, tk_prev)
-            R12 = resolve_mat(mm.R12, x_prev, uk_prev, p, tk_prev)
+            R1 = resolve_mat(self.R1, x_prev, uk_prev, p, tk_prev, Ts=self.Ts)
+            R2 = resolve_mat(mm.R2, x_prev, uk_prev, p, tk_prev, Ts=self.Ts)
+            R12 = resolve_mat(mm.R12, x_prev, uk_prev, p, tk_prev, Ts=self.Ts)
             Rj = jnp.block([[R1, R12], [R12.T, R2]])
             wv = as_mvnormal(Rj).sample(kk)
             w = wv[:nw] if dynamics_noise else jnp.zeros((nw,), dtype=wv.dtype)

@@ -111,7 +111,7 @@ class EnsembleKalmanFilter(AbstractKalmanFilter):
         p = self.p if p is None else p
         t = state.t * self.Ts if t is None else t
         xbar = ensemble_mean(state.X)
-        R1 = resolve_mat(self.R1, xbar, u, p, t) if R1 is None else R1
+        R1 = resolve_mat(self.R1, xbar, u, p, t, Ts=self.Ts) if R1 is None else R1
         infl = self.inflation if inflation is None else inflation
         key, kw = jax.random.split(state.key)
         f = self.dynamics
@@ -131,7 +131,7 @@ class EnsembleKalmanFilter(AbstractKalmanFilter):
         y = jnp.asarray(y)
         N = self.N
         xbar = ensemble_mean(state.X)
-        R2 = resolve_mat(self.R2, xbar, u, p, t) if R2 is None else R2
+        R2 = resolve_mat(self.R2, xbar, u, p, t, Ts=self.Ts) if R2 is None else R2
         h = self.measurement
         Y = jax.vmap(lambda xi: h(xi, u, p, t))(state.X)  # [N, ny]
         ybar = jnp.mean(Y, axis=0)
@@ -173,13 +173,13 @@ class EnsembleKalmanFilter(AbstractKalmanFilter):
     def sample_state(self, key, x, u, p=None, t=0, noise=True):
         xn = self.dynamics(x, u, p, t)
         if noise:
-            xn = xn + as_mvnormal(resolve_mat(self.R1, x, u, p, t)).sample(key)
+            xn = xn + as_mvnormal(resolve_mat(self.R1, x, u, p, t, Ts=self.Ts)).sample(key)
         return xn
 
     def sample_measurement(self, key, x, u, p=None, t=0, noise=True):
         yy = self.measurement(x, u, p, t)
         if noise:
-            yy = yy + as_mvnormal(resolve_mat(self.R2, x, u, p, t)).sample(key)
+            yy = yy + as_mvnormal(resolve_mat(self.R2, x, u, p, t, Ts=self.Ts)).sample(key)
         return yy
 
 

@@ -157,9 +157,9 @@ class KalmanFilter(AbstractKalmanFilter):
     def predict(self, state: KFState, u=None, p=None, t=None, R1=None, alpha=None) -> KFState:
         p = self.p if p is None else p
         t = state.t * self.Ts if t is None else t
-        At = resolve_mat(self.A, state.x, u, p, t)
-        Bt = resolve_mat(self.B, state.x, u, p, t)
-        R1 = resolve_mat(self.R1, state.x, u, p, t) if R1 is None else R1
+        At = resolve_mat(self.A, state.x, u, p, t, Ts=self.Ts)
+        Bt = resolve_mat(self.B, state.x, u, p, t, Ts=self.Ts)
+        R1 = resolve_mat(self.R1, state.x, u, p, t, Ts=self.Ts) if R1 is None else R1
         a = self.alpha if alpha is None else alpha
         x, R = kf_predict(state.x, state.R, At, Bt, u, R1, a)
         return KFState(x=x, R=R, t=state.t + 1)
@@ -169,10 +169,10 @@ class KalmanFilter(AbstractKalmanFilter):
         t = state.t * self.Ts if t is None else t
         if mm is not None:
             return mm.correct(self, state, u, y, p, t)
-        Ct = resolve_mat(self.C, state.x, u, p, t)
-        Dt = resolve_mat(self.D, state.x, u, p, t)
-        R2 = resolve_mat(self.R2, state.x, u, p, t) if R2 is None else R2
-        R12 = resolve_mat(self.R12, state.x, u, p, t)
+        Ct = resolve_mat(self.C, state.x, u, p, t, Ts=self.Ts)
+        Dt = resolve_mat(self.D, state.x, u, p, t, Ts=self.Ts)
+        R2 = resolve_mat(self.R2, state.x, u, p, t, Ts=self.Ts) if R2 is None else R2
+        R12 = resolve_mat(self.R12, state.x, u, p, t, Ts=self.Ts)
         x, R, info = kf_correct(state.x, state.R, Ct, Dt, u, y, R2, R12)
         return KFState(x=x, R=R, t=state.t), info
 
@@ -181,8 +181,8 @@ class KalmanFilter(AbstractKalmanFilter):
         """Out-of-place measurement function (kalman.jl:113-121)."""
 
         def g(x, u, p, t):
-            y = resolve_mat(self.C, x, u, p, t) @ x
-            Dt = resolve_mat(self.D, x, u, p, t)
+            y = resolve_mat(self.C, x, u, p, t, Ts=self.Ts) @ x
+            Dt = resolve_mat(self.D, x, u, p, t, Ts=self.Ts)
             if Dt is not None and u is not None and jnp.size(u):
                 y = y + Dt @ jnp.asarray(u)
             return y
@@ -193,8 +193,8 @@ class KalmanFilter(AbstractKalmanFilter):
         """Out-of-place dynamics function (kalman.jl:150-152)."""
 
         def f(x, u, p, t):
-            xn = resolve_mat(self.A, x, u, p, t) @ x
-            return _add_input(xn, resolve_mat(self.B, x, u, p, t), u)
+            xn = resolve_mat(self.A, x, u, p, t, Ts=self.Ts) @ x
+            return _add_input(xn, resolve_mat(self.B, x, u, p, t, Ts=self.Ts), u)
 
         return f
 
@@ -205,13 +205,13 @@ class KalmanFilter(AbstractKalmanFilter):
     def sample_state(self, key, x, u, p=None, t=0, noise=True):
         xn = self.dynamics_fn()(x, u, p, t)
         if noise:
-            R1 = resolve_mat(self.R1, x, u, p, t)
+            R1 = resolve_mat(self.R1, x, u, p, t, Ts=self.Ts)
             xn = xn + as_mvnormal(R1).sample(key)
         return xn
 
     def sample_measurement(self, key, x, u, p=None, t=0, noise=True):
         y = self.measurement_fn()(x, u, p, t)
         if noise:
-            R2 = resolve_mat(self.R2, x, u, p, t)
+            R2 = resolve_mat(self.R2, x, u, p, t, Ts=self.Ts)
             y = y + as_mvnormal(R2).sample(key)
         return y

@@ -155,13 +155,13 @@ class MUKF(AbstractKalmanFilter):
         """MUT time update (mukf.jl:490-590)."""
         p = self.p if p is None else p
         t = state.t * self.Ts if t is None else t
-        R1 = resolve_mat(self.R1, state.x, u, p, t) if R1 is None else R1
+        R1 = resolve_mat(self.R1, state.x, u, p, t, Ts=self.Ts) if R1 is None else R1
         sp, nus, W, Gamma, mun, mul = self._conditional(state)
         S = sp.shape[0]
         f = self.dynamics
 
         def prop(sp_i, nu_i):
-            A_i = resolve_mat(self.A, sp_i, u, p, t)
+            A_i = resolve_mat(self.A, sp_i, u, p, t, Ts=self.Ts)
             return f(sp_i, u, p, t) + A_i @ nu_i, A_i
 
         Y, G = jax.vmap(prop)(sp, nus)  # [S, nx], [S, nx, nxl]
@@ -183,12 +183,12 @@ class MUKF(AbstractKalmanFilter):
         g = model.measurement
         if R2 is None:
             R2 = model.R2.cov if hasattr(model.R2, "cov") else model.R2
-            R2 = resolve_mat(R2, state.x, u, p, t)
+            R2 = resolve_mat(R2, state.x, u, p, t, Ts=self.Ts)
         sp, nus, W, Gamma, mun, mul = self._conditional(state)
         S_n = sp.shape[0]
 
         def meas(sp_i, nu_i):
-            Cl_i = resolve_mat(self.Cl, sp_i, u, p, t)
+            Cl_i = resolve_mat(self.Cl, sp_i, u, p, t, Ts=self.Ts)
             return g(sp_i, u, p, t) + Cl_i @ nu_i, Cl_i
 
         Ym, Cls = jax.vmap(meas)(sp, nus)  # [S, ny], [S, ny, nxl]
@@ -223,14 +223,14 @@ class MUKF(AbstractKalmanFilter):
         n = jnp.asarray(self.n_inds)
         l = jnp.asarray(self.l_inds)
         xn, xl = x[n], x[l]
-        A = resolve_mat(self.A, xn, u, p, t)
+        A = resolve_mat(self.A, xn, u, p, t, Ts=self.Ts)
         return self.dynamics(xn, u, p, t) + A @ xl
 
     def _full_measurement(self, x, u, p, t):
         n = jnp.asarray(self.n_inds)
         l = jnp.asarray(self.l_inds)
         xn, xl = x[n], x[l]
-        Cl = resolve_mat(self.Cl, xn, u, p, t)
+        Cl = resolve_mat(self.Cl, xn, u, p, t, Ts=self.Ts)
         return self.nl_measurement_model.measurement(xn, u, p, t) + Cl @ xl
 
     def sample_initial(self, key, p=None, noise=True):
@@ -239,7 +239,7 @@ class MUKF(AbstractKalmanFilter):
     def sample_state(self, key, x, u, p=None, t=0, noise=True):
         xn = self._full_dynamics(x, u, p, t)
         if noise:
-            R1 = resolve_mat(self.R1, x, u, p, t)
+            R1 = resolve_mat(self.R1, x, u, p, t, Ts=self.Ts)
             xn = xn + as_mvnormal(R1).sample(key)
         return xn
 

@@ -6,8 +6,8 @@ branches of src/filtering.jl:140-234.  The reference's per-particle loops
 over a [N, nx] particle array; weight normalization is a fused
 max/exp/sum pass (ops/logsumexp.py); resampling is prefix-sum +
 binary-search (ops/resample.py).  The Neff-triggered resampling branch
-(resample.jl:5-10) is a `jnp.where` select over resampled vs. identity
-indices so the scan body stays shape-static.
+(resample.jl:5-10) is a `lax.cond` so the resampling cost is only paid on
+steps that actually fire while the scan body stays shape-static.
 
 PRNG keys are threaded explicitly through :class:`PFState` — the functional
 replacement for the per-filter `rng` field (PFtypes.jl:30).
@@ -75,21 +75,21 @@ class _ParticleCommon(AbstractParticleFilter):
     # -- resample-or-not, shape-static (filtering.jl:140-153) ------------
     def _maybe_resample(self, state: PFState):
         """Resampled particles + (did-resample?, key), honoring the Neff
-        trigger (resample.jl:5-10) as a `where` select so the scan body
-        stays shape-static.
+        trigger (resample.jl:5-10).
 
-        The Neff trigger is a `lax.cond`, not a `where`-select: XLA executes
-        only the taken branch at runtime, so the resampling cost (~1 ms at
-        N=1e5 on TPU, dominated by the permutation) is paid only on the
-        steps that actually resample — with the reference-default
-        threshold 0.1 that is every ~10-30 steps.
+        The Neff trigger is a `lax.cond`: XLA executes only the taken
+        branch at runtime, so the resampling cost (~1 ms at N=1e5 on TPU,
+        dominated by the permutation) is paid only on the steps that
+        actually resample — with the reference-default threshold 0.1 that
+        is every ~10-30 steps.
         """
         N = self.N
         key, kr = jax.random.split(state.key)
+        exact = getattr(self, "exact_resample", False)
 
         def do_resample(ops):
             x, we = ops
-            if self.resampling_strategy == "systematic":
+            if self.resampling_strategy == "systematic" and not exact:
                 return resample_systematic_gather(x, we, kr)
             j = resample(we, kr, N, strategy=self.resampling_strategy)
             return x[j]
@@ -181,6 +181,10 @@ class ParticleFilter(_ParticleCommon):
     - ``dynamics``: ``f(x, u, p, t) -> x⁺`` (additive process noise)
     - ``measurement``: ``g(x, u, p, t) -> ŷ`` (additive measurement noise)
     - densities: any object with ``logpdf``/``sample`` (MvNormal built-in)
+    - ``exact_resample=True`` routes systematic resampling through the
+      exact index-gather path instead of the float scatter+prefix-sum
+      reconstruction (O(sqrt(N)·eps) error) — use for particles with
+      exact/discrete state components.
     """
 
     N: int = static_field()
@@ -192,6 +196,7 @@ class ParticleFilter(_ParticleCommon):
     p: Any = field(default=None)
     resample_threshold: float = static_field(default=0.1)
     resampling_strategy: str = static_field(default="systematic")
+    exact_resample: bool = static_field(default=False)
     Ts: float = static_field(default=1.0)
     nu: int = static_field(default=-1)
     ny: int = static_field(default=-1)
@@ -286,6 +291,7 @@ class AdvancedParticleFilter(_ParticleCommon):
     p: Any = field(default=None)
     resample_threshold: float = static_field(default=0.5)
     resampling_strategy: str = static_field(default="systematic")
+    exact_resample: bool = static_field(default=False)
     Ts: float = static_field(default=1.0)
     nu: int = static_field(default=-1)
     ny: int = static_field(default=-1)
@@ -381,7 +387,7 @@ class AuxiliaryParticleFilter(_ParticleCommon):
             w = state.w + lam
             we_b = expnormalize(w)
             key, kr = jax.random.split(state.key)
-            if inner.resampling_strategy == "systematic":
+            if inner.resampling_strategy == "systematic" and not getattr(inner, "exact_resample", False):
                 x_res = resample_systematic_gather(state.x, we_b, kr)
             else:
                 j = resample(we_b, kr, N, strategy=inner.resampling_strategy)
@@ -401,7 +407,7 @@ class AuxiliaryParticleFilter(_ParticleCommon):
         w = state.w + lam
         we_b = expnormalize(w)
         key, kr = jax.random.split(state.key)
-        if inner.resampling_strategy == "systematic":
+        if inner.resampling_strategy == "systematic" and not getattr(inner, "exact_resample", False):
             x = resample_systematic_gather(xpred, we_b, kr)
         else:
             j = resample(we_b, kr, N, strategy=inner.resampling_strategy)

@@ -179,9 +179,9 @@ class RBPF(AbstractParticleFilter):
             w, we, ll = logsumexp_normalize(state.w + logp)
             return state.replace(w=w, we=we), PFInfo(ll=ll, e=jnp.zeros_like(y))
 
-        C = resolve_mat(kf.C, state.xn[0], u, p, t)
+        C = resolve_mat(kf.C, state.xn[0], u, p, t, Ts=self.Ts)
 
-        R2 = resolve_mat(self.nl_measurement_model.R2.cov, state.xn[0], u, p, t)
+        R2 = resolve_mat(self.nl_measurement_model.R2.cov, state.xn[0], u, p, t, Ts=self.Ts)
         e = y - yn - state.xl @ C.T  # [N, ny]
         if self.single_riccati:
             S = symmetrize(C @ state.R @ C.T) + R2
@@ -250,10 +250,10 @@ class RBPF(AbstractParticleFilter):
         f = self.dynamics
         key, kw = jax.random.split(state.key)
 
-        Al = resolve_mat(kf.A, state.xn[0], u, p, t)
-        Bl = resolve_mat(kf.B, state.xn[0], u, p, t)
-        R1l = resolve_mat(kf.R1, state.xn[0], u, p, t)
-        An = resolve_mat(self.An, state.xn[0], u, p, t) if self.An is not None else None
+        Al = resolve_mat(kf.A, state.xn[0], u, p, t, Ts=self.Ts)
+        Bl = resolve_mat(kf.B, state.xn[0], u, p, t, Ts=self.Ts)
+        R1l = resolve_mat(kf.R1, state.xn[0], u, p, t, Ts=self.Ts)
+        An = resolve_mat(self.An, state.xn[0], u, p, t, Ts=self.Ts) if self.An is not None else None
 
         xl_drive = state.xl @ Al.T
         if Bl is not None and u is not None and jnp.size(u):
@@ -343,20 +343,20 @@ class RBPF(AbstractParticleFilter):
         if noise:
             xn1 = xn1 + self.R1n.sample(kn)
         if self.An is not None:
-            xn1 = xn1 + resolve_mat(self.An, xn, u, p, t) @ xl
-        Al = resolve_mat(self.kf.A, xn, u, p, t)
-        Bl = resolve_mat(self.kf.B, xn, u, p, t)
+            xn1 = xn1 + resolve_mat(self.An, xn, u, p, t, Ts=self.Ts) @ xl
+        Al = resolve_mat(self.kf.A, xn, u, p, t, Ts=self.Ts)
+        Bl = resolve_mat(self.kf.B, xn, u, p, t, Ts=self.Ts)
         xl1 = Al @ xl
         if Bl is not None and u is not None and jnp.size(u):
             xl1 = xl1 + Bl @ jnp.asarray(u)
         if noise:
-            xl1 = xl1 + as_mvnormal(resolve_mat(self.kf.R1, xn, u, p, t)).sample(kl)
+            xl1 = xl1 + as_mvnormal(resolve_mat(self.kf.R1, xn, u, p, t, Ts=self.Ts)).sample(kl)
         return jnp.concatenate([xn1, xl1])
 
     def sample_measurement(self, key, x, u, p=None, t=0, noise=True):
         xn, xl = x[: self.nxn], x[self.nxn :]
         yy = self.nl_measurement_model.measurement(xn, u, p, t)
-        C = resolve_mat(self.kf.C, xn, u, p, t)
+        C = resolve_mat(self.kf.C, xn, u, p, t, Ts=self.Ts)
         if C is not None:
             yy = yy + C @ xl
         if noise:

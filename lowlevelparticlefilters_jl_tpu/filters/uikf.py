@@ -82,10 +82,10 @@ class UIKalmanFilter(AbstractKalmanFilter):
         t = state.t * kf.Ts if t is None else t
         x, R = state.x, state.R
         y = jnp.asarray(y)
-        C = resolve_mat(kf.C, x, u, p, t)
-        D = resolve_mat(kf.D, x, u, p, t)
-        Gm = resolve_mat(self.G, x, u, p, t)
-        R2 = resolve_mat(kf.R2, x, u, p, t) if R2 is None else R2
+        C = resolve_mat(kf.C, x, u, p, t, Ts=self.kf.Ts)
+        D = resolve_mat(kf.D, x, u, p, t, Ts=self.kf.Ts)
+        Gm = resolve_mat(self.G, x, u, p, t, Ts=self.kf.Ts)
+        R2 = resolve_mat(kf.R2, x, u, p, t, Ts=self.kf.Ts) if R2 is None else R2
         ny, nd = C.shape[0], self.nd
         eye = jnp.eye(x.shape[-1], dtype=x.dtype)
 
@@ -161,7 +161,7 @@ class UIKalmanFilter(AbstractKalmanFilter):
     def sample_state(self, key, x, u, p=None, t=0, noise=True, d=None):
         xn = self.kf.sample_state(key, x, u, p, t, noise=noise)
         if d is not None:
-            xn = xn + resolve_mat(self.G, x, u, p, t) @ jnp.asarray(d)
+            xn = xn + resolve_mat(self.G, x, u, p, t, Ts=self.kf.Ts) @ jnp.asarray(d)
         return xn
 
     def sample_measurement(self, key, x, u, p=None, t=0, noise=True):

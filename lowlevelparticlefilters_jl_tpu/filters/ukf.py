@@ -109,7 +109,7 @@ class UnscentedKalmanFilter(AbstractKalmanFilter):
         p = self.p if p is None else p
         t = state.t * self.Ts if t is None else t
         x, R = state.x, state.R
-        R1 = resolve_mat(self.R1, x, u, p, t) if R1 is None else R1
+        R1 = resolve_mat(self.R1, x, u, p, t, Ts=self.Ts) if R1 is None else R1
         nx = x.shape[-1]
         wp = self.weight_params
         f = self.dynamics
@@ -121,7 +121,7 @@ class UnscentedKalmanFilter(AbstractKalmanFilter):
             # Optional state-cov regularization for explicit disturbance
             # inputs (ukf.jl:547).
             if self.R1x is not None:
-                R = R + resolve_mat(self.R1x, x, u, p, t)
+                R = R + resolve_mat(self.R1x, x, u, p, t, Ts=self.Ts)
             m_aug = jnp.concatenate([x, jnp.zeros((nw,), dtype=x.dtype)])
             xs0 = sigmapoints(m_aug, blkdiag(R, R1), wp, chol=self.cholesky_fn)
             xsd = jax.vmap(lambda s: f(s[:nx], u, p, t, s[nx:]))(xs0)
@@ -174,7 +174,7 @@ class UnscentedKalmanFilter(AbstractKalmanFilter):
         def backstep(carry, inp):
             xT_next, RT_next = carry
             xt_k, Rt_k, u_k, t_k = inp
-            R1 = resolve_mat(self.R1, xt_k, u_k, p, t_k)
+            R1 = resolve_mat(self.R1, xt_k, u_k, p, t_k, Ts=self.Ts)
             nw = R1.shape[-1]
             m_aug = jnp.concatenate([xt_k, jnp.zeros((nw,), dtype=xt_k.dtype)])
             P_aug = blkdiag(Rt_k, R1)
@@ -207,7 +207,7 @@ class UnscentedKalmanFilter(AbstractKalmanFilter):
         return self.d0.sample(key) if noise else self.d0.mean
 
     def sample_state(self, key, x, u, p=None, t=0, noise=True):
-        R1 = resolve_mat(self.R1, x, u, p, t)
+        R1 = resolve_mat(self.R1, x, u, p, t, Ts=self.Ts)
         w = as_mvnormal(R1).sample(key)
         if not noise:
             w = jnp.zeros_like(w)
@@ -217,7 +217,7 @@ class UnscentedKalmanFilter(AbstractKalmanFilter):
 
     def sample_measurement(self, key, x, u, p=None, t=0, noise=True):
         mm = self.measurement_model
-        R2 = resolve_mat(mm.R2, x, u, p, t)
+        R2 = resolve_mat(mm.R2, x, u, p, t, Ts=self.Ts)
         e = as_mvnormal(R2).sample(key)
         if not noise:
             e = jnp.zeros_like(e)

@@ -36,6 +36,11 @@ class AbstractMeasurementModel:
     """Marker base (measurement_model.jl:1)."""
 
 
+def _ts(kf) -> float:
+    """Sampling time of the owning filter (for step-indexing stacked mats)."""
+    return getattr(kf, "Ts", 1.0)
+
+
 def _gaussian_update(x, R, C, e, R2, S_extra=None, R12=None, chol=None):
     """Shared linearized measurement update used by Linear/EKF models.
 
@@ -92,10 +97,10 @@ class LinearMeasurementModel(AbstractMeasurementModel):
 
     def correct(self, kf, state, u, y, p=None, t=0, R2=None):
         x, R = state.x, state.R
-        Ct = resolve_mat(self.C, x, u, p, t)
-        Dt = resolve_mat(self.D, x, u, p, t)
-        R2 = resolve_mat(self.R2, x, u, p, t) if R2 is None else R2
-        R12 = resolve_mat(self.R12, x, u, p, t)
+        Ct = resolve_mat(self.C, x, u, p, t, Ts=_ts(kf))
+        Dt = resolve_mat(self.D, x, u, p, t, Ts=_ts(kf))
+        R2 = resolve_mat(self.R2, x, u, p, t, Ts=_ts(kf)) if R2 is None else R2
+        R12 = resolve_mat(self.R12, x, u, p, t, Ts=_ts(kf))
         e = jnp.asarray(y) - Ct @ x
         if Dt is not None and u is not None and jnp.size(u):
             e = e - Dt @ jnp.asarray(u)
@@ -135,8 +140,8 @@ class EKFMeasurementModel(AbstractMeasurementModel):
     def correct(self, kf, state, u, y, p=None, t=0, R2=None):
         x, R = state.x, state.R
         C = self._Cjac(x, u, p, t)
-        R2 = resolve_mat(self.R2, x, u, p, t) if R2 is None else R2
-        R12 = resolve_mat(self.R12, x, u, p, t)
+        R2 = resolve_mat(self.R2, x, u, p, t, Ts=_ts(kf)) if R2 is None else R2
+        R12 = resolve_mat(self.R12, x, u, p, t, Ts=_ts(kf))
         e = jnp.asarray(y) - self.measurement(x, u, p, t)
         xn, Rn, info = _gaussian_update(
             x, R, C, e, R2, R12=R12, chol=getattr(kf, "cholesky_fn", None)
@@ -184,8 +189,8 @@ class IEKFMeasurementModel(AbstractMeasurementModel):
 
         x, R = state.x, state.R
         y = jnp.asarray(y)
-        R2 = resolve_mat(self.R2, x, u, p, t) if R2 is None else R2
-        R12 = resolve_mat(self.R12, x, u, p, t)
+        R2 = resolve_mat(self.R2, x, u, p, t, Ts=_ts(kf)) if R2 is None else R2
+        R12 = resolve_mat(self.R12, x, u, p, t, Ts=_ts(kf))
         pred_err = y - self.measurement(x, u, p, t)
         nx = x.shape[-1]
         eye = jnp.eye(nx, dtype=R.dtype)
@@ -281,7 +286,7 @@ class UKFMeasurementModel(AbstractMeasurementModel):
 
         x, R = state.x, state.R
         y = jnp.asarray(y)
-        R2 = resolve_mat(self.R2, x, u, p, t) if R2 is None else R2
+        R2 = resolve_mat(self.R2, x, u, p, t, Ts=_ts(kf)) if R2 is None else R2
         nx = x.shape[-1]
         wp = self.weight_params
         chol_fn = getattr(kf, "cholesky_fn", None)

@@ -62,28 +62,46 @@ def as_matspec(M, base_ndim: int = 2):
     return jnp.asarray(M)
 
 
-def resolve_mat(M: MatLike, x, u, p, t, *, base_ndim: int = 2):
+def resolve_mat(M: MatLike, x, u, p, t, *, base_ndim: int = 2, Ts: float = 1.0):
     """Evaluate a `get_mat`-style matrix specification at (x, u, p, t).
 
     ``base_ndim`` is the rank of the constant matrix (2 for A/B/C/..., 1 for
     a vector).  A raw array of rank ``base_ndim + 1`` is interpreted as
-    time-stacked and indexed at step ``round(t / Ts)`` — like the reference,
-    integer-step indexing assumes Ts == 1 unless callers pre-divide t.
+    time-stacked and indexed at the integer *step* ``round(t / Ts)`` —
+    callers inside filters pass ``Ts=self.Ts`` so step indexing stays
+    correct for any sampling time (the reference instead errors for 3-D
+    matrices at non-integer t, filtering.jl:19-25; dividing the wall time
+    back to the step index is strictly more capable).  Callables always
+    receive the wall time ``t``.
     """
     if M is None:
         return None
     if callable(M) and not isinstance(M, (jax.Array, TimeVarying)):
         return M(x, u, p, t)
     if isinstance(M, TimeVarying):
-        return _index_time(M.data, t)
+        return _index_time(M.data, t, Ts)
     arr = M if isinstance(M, jax.Array) else jnp.asarray(M)
     if arr.ndim == base_ndim + 1:
-        return _index_time(arr, t)
+        return _index_time(arr, t, Ts)
     return arr
 
 
-def _index_time(data: jax.Array, t):
-    k = jnp.asarray(t).astype(jnp.int32)
+def _index_time(data: jax.Array, t, Ts: float = 1.0):
+    tq = t / Ts if Ts != 1.0 else t
+    if not isinstance(tq, jax.core.Tracer):
+        # Eager parity with the reference's ArgumentError for a 3-D
+        # time-stacked matrix at a non-integer step (filtering.jl:19-25,
+        # test/test_getmat_3d_time.jl).
+        tv = float(jnp.asarray(tq))
+        if abs(tv - round(tv)) > 1e-4:
+            raise ValueError(
+                "resolve_mat: a time-stacked (3-D) matrix is indexed by the "
+                f"integer step but got t/Ts = {tv}. Pass the matrix as a "
+                "function M(x, u, p, t) if it must be evaluated at "
+                "non-integer time points."
+            )
+    tq = jnp.asarray(tq)
+    k = (tq if jnp.issubdtype(tq.dtype, jnp.integer) else jnp.round(tq)).astype(jnp.int32)
     return jax.lax.dynamic_index_in_dim(data, k, axis=0, keepdims=False)
 
 

@@ -124,7 +124,11 @@ def propagate_gaussian(
 
     def kernel(seed_ref, x_ref, chol_ref, *rest):
         *const_refs, out_ref = rest
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))  # per-block stream
+        # Per-block stream via a second independent seed word — NOT
+        # seed+program_id, which would collide whenever two steps' seeds
+        # differ by less than the block count (identical noise blocks
+        # silently correlated across time).
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
         xn = dyn_flat(x_ref[:], *[c[:] for c in const_refs])
         b1 = pltpu.prng_random_bits((BLK, nx))
         b2 = pltpu.prng_random_bits((BLK, nx))

@@ -9,4 +9,8 @@ from .sharded import (
     sharded_enkf_update,
 )
 from .bank import bank_mesh, bank_forward_trajectory, bank_loglik, shard_bank
-from .temporal import parallel_forward_trajectory, parallel_rts_smooth
+from .temporal import (
+    parallel_forward_trajectory,
+    parallel_rts_smooth,
+    parallel_iekf_smooth,
+)

@@ -127,9 +127,122 @@ def _resample_global(state, pf, axis_name):
     return x_out, w, we, key
 
 
-def _predict_local(pf, state, u, p, t, axis_name):
+def _resample_distributed(state, pf, axis_name):
+    """Global systematic resampling with O(N/devices) ICI traffic.
+
+    The gather-to-replicated path (:func:`_resample_global`) moves the full
+    [N, nx] particle block over the interconnect and dies around N ≈ 1e6;
+    this routine (cf. Murray, "Parallel resampling in the particle filter",
+    arXiv:1301.4019 — PAPERS.md) exchanges only neighbor blocks:
+
+    1. shard CDF offsets via one scalar all_gather (S floats),
+    2. each source shard derives, from the counting-sort slot boundaries
+       ``K_i = ceil(cdf_i·N/total − r)`` (ops/resample.py), the *global*
+       owner index of every output slot in its ±1-shard window — the count
+       identity ``owner(g) = s·M + #{local i : K_i ≤ g}`` needs no global
+       CDF,
+    3. two `ppermute`s ([M, nx] each) deliver the neighbor segments; each
+       output slot is valid from exactly one source.
+
+    If any shard's offspring slots escape its ±1 window (weight skew > one
+    shard's worth — impossible once Neff-triggered resampling keeps weights
+    balanced, but possible in adversarial inputs), every shard detects it
+    via a psum'd flag and falls back to the exact gather-to-replicated path
+    under `lax.cond`.
+
+    Returns ``(x_out, w, we, key)`` like :func:`_resample_global`.
+    """
+    n_shards = jax.lax.axis_size(axis_name)
+    if n_shards == 1:
+        return _resample_global(state, pf, axis_name)
+    shard = jax.lax.axis_index(axis_name)
+    M_loc = state.x.shape[0]
+    N = M_loc * n_shards
+    nx = state.x.shape[-1]
+    key, kr = jax.random.split(state.key)  # identical on all shards
+
+    # ---- shard CDF offsets (S scalars over ICI) -------------------------
+    w_sum = jnp.sum(state.we)
+    sums = jax.lax.all_gather(w_sum, axis_name)           # [S]
+    total = jnp.sum(sums)
+    offset = jnp.cumsum(sums) - sums                       # exclusive prefix
+    O_s = offset[shard]
+
+    # Neff trigger from global moments — no weight gather needed.
+    sq = jax.lax.psum(jnp.sum(jnp.square(state.we)), axis_name)
+    neff = (total * total) / sq
+    if pf.resample_threshold >= 1.0:
+        do = jnp.asarray(True)
+    else:
+        do = neff < pf.resample_threshold * N
+
+    # ---- local slot boundaries (global K values) ------------------------
+    r = jax.random.uniform(kr, (), dtype=state.we.dtype)
+    gbins = O_s + jnp.cumsum(state.we)
+    K = jnp.ceil(gbins * N / total - r).astype(jnp.int32)  # [M_loc], global
+    K = jnp.clip(K, 0, N)
+    K_base = jnp.clip(jnp.ceil(O_s * N / total - r), 0, N).astype(jnp.int32)
+    K_last = K[-1]
+
+    # window of output slots this source can serve: [(s-1)M, (s+2)M)
+    g0 = (shard - 1) * M_loc
+    W = 3 * M_loc
+    overflow = (K_base < g0) | (K_last > g0 + W)
+    overflow = jax.lax.psum(overflow.astype(jnp.int32), axis_name) > 0
+
+    def distributed(_):
+        # counting sort inside the window: owner(g) = #{local i: K_i <= g}
+        Kw = jnp.clip(K - g0, 0, W)                        # window coords
+        hist = jnp.zeros((W + 1,), jnp.int32).at[Kw].add(1)
+        j_loc = jnp.clip(jnp.cumsum(hist)[:-1], 0, M_loc - 1)  # [W]
+        g = g0 + jnp.arange(W, dtype=jnp.int32)
+        valid = (g >= K_base) & (g < K_last) & (g >= 0) & (g < N)
+        seg = jnp.where(valid[:, None], state.x[j_loc], 0.0)   # [W, nx]
+
+        left, mid, right = seg[:M_loc], seg[M_loc:2 * M_loc], seg[2 * M_loc:]
+        v_left, v_mid, v_right = (
+            valid[:M_loc], valid[M_loc:2 * M_loc], valid[2 * M_loc:]
+        )
+        # segment for dest s-1 travels LEFT; segment for dest s+1 RIGHT.
+        perm_l = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        perm_r = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        from_right = jax.lax.ppermute(left, axis_name, perm_l)   # arrives at s-1
+        vf_right = jax.lax.ppermute(v_left, axis_name, perm_l)
+        from_left = jax.lax.ppermute(right, axis_name, perm_r)   # arrives at s+1
+        vf_left = jax.lax.ppermute(v_right, axis_name, perm_r)
+        out = (
+            jnp.where(v_mid[:, None], mid, 0.0)
+            + jnp.where(vf_right[:, None], from_right, 0.0)
+            + jnp.where(vf_left[:, None], from_left, 0.0)
+        )
+        return out
+
+    def fallback(_):
+        # exact gather-to-replicated resample of the same (r, K) stream
+        we_all = jax.lax.all_gather(state.we, axis_name, tiled=True)
+        bins = jnp.cumsum(we_all)
+        Kg = jnp.clip(jnp.ceil(bins * N / total - r), 0, N).astype(jnp.int32)
+        hist = jnp.zeros((N + 1,), jnp.int32).at[Kg].add(1)
+        j = jnp.clip(jnp.cumsum(hist)[:-1], 0, N - 1)
+        x_all = jax.lax.all_gather(state.x, axis_name, tiled=True)
+        j_loc = jax.lax.dynamic_slice_in_dim(j, shard * M_loc, M_loc)
+        return x_all[j_loc]
+
+    x_res = jax.lax.cond(overflow, fallback, distributed, operand=None)
+    x_out = jnp.where(do, x_res, state.x)
+    w0, we0 = _uniform_weights(M_loc, state.w.dtype)
+    lNratio = jnp.log(jnp.asarray(n_shards, state.w.dtype))
+    w = jnp.where(do, w0 - lNratio, state.w)
+    we = jnp.where(do, we0 / n_shards, state.we)
+    return x_out, w, we, key
+
+
+def _predict_local(pf, state, u, p, t, axis_name, distributed_resample=True):
     """Per-shard propagation after global resampling."""
-    x, w, we, key = _resample_global(state, pf, axis_name)
+    if distributed_resample:
+        x, w, we, key = _resample_distributed(state, pf, axis_name)
+    else:
+        x, w, we, key = _resample_global(state, pf, axis_name)
     shard = jax.lax.axis_index(axis_name)
     M_loc = x.shape[0]
     key, kn = jax.random.split(key)
@@ -254,8 +367,8 @@ def sharded_enkf_update(enkf, state, u, y, p=None, t=None,
         X = st.X  # [N_loc, nx]
         N_loc = X.shape[0]
         xbar = jax.lax.pmean(jnp.mean(X, axis=0), axis_name)
-        R2 = resolve_mat(enkf.R2, xbar, u_, p, tk)
-        R1 = resolve_mat(enkf.R1, xbar, u_, p, tk)
+        R2 = resolve_mat(enkf.R2, xbar, u_, p, tk, Ts=enkf.Ts)
+        R1 = resolve_mat(enkf.R1, xbar, u_, p, tk, Ts=enkf.Ts)
 
         # ---- correct (enkf.jl:279-356, distributed moments) -----------
         h = enkf.measurement

@@ -38,13 +38,30 @@ from ..ops.mvnormal import mvnormal_logpdf
 from ..utils.solutions import KalmanFilteringSolution, KalmanSmoothingSolution
 
 
-def _resolve_seq(M, x0, u_seq, tvec, p):
+def _resolve_seq(M, x0, u_seq, tvec, p, Ts=1.0):
     """Resolve a get_mat-style spec into a stacked [T, ...] array."""
     if M is None:
         return None
     if isinstance(M, jax.Array) and M.ndim == 2:
         return jnp.broadcast_to(M, (tvec.shape[0], *M.shape))
-    return jax.vmap(lambda u, t: resolve_mat(M, x0, u, p, t))(u_seq, tvec)
+    return jax.vmap(lambda u, t: resolve_mat(M, x0, u, p, t, Ts=Ts))(u_seq, tvec)
+
+
+def _state_indep_flag(M, x0, u0, p, t0, Ts=1.0):
+    """jit-safe guard for the associative-scan path's core assumption.
+
+    The temporal-parallel filter resolves callable matrices at ``x0`` for
+    every step, which is only valid for matrices that do NOT depend on the
+    state.  Returns None for non-callable specs; otherwise a boolean that is
+    False when the callable's value changes under a state perturbation —
+    ANDed into ``sol.ok`` so a state-dependent model surfaces as an invalid
+    solution instead of silently wrong numbers.
+    """
+    if M is None or not (callable(M) and not isinstance(M, jax.Array)):
+        return None
+    a = resolve_mat(M, x0, u0, p, t0, Ts=Ts)
+    b = resolve_mat(M, x0 + 1.0, u0, p, t0, Ts=Ts)
+    return jnp.all(jnp.abs(a - b) <= 1e-6 * (1.0 + jnp.abs(a)))
 
 
 def _filter_elements(F, c, H, Q, R, y, m0, P0):
@@ -107,35 +124,12 @@ def _filter_combine(e1, e2):
     return A, b, C, eta, J
 
 
-def parallel_forward_trajectory(kf, u, y, p=None) -> KalmanFilteringSolution:
-    """O(log T)-depth Kalman filtering pass via `lax.associative_scan`.
+def _parallel_filter_core(F, c, H, Q, R, y_eff, m0, P0):
+    """Associative-scan filtering on a prepared affine time-varying model.
 
-    Matches :func:`...trajectory.kalman_forward_trajectory` outputs
-    (x, xt, R, Rt, ll, e, S, K) for constant or stacked/callable
-    time-varying system matrices that do not depend on the state.
+    Inputs are stacked [T, ...] sequences; returns
+    ``(x_pred, R_pred, xt, Rt, e, S, Schol, K, lls)``.
     """
-    y = jnp.asarray(y)
-    T = y.shape[0]
-    u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
-    p = kf.p if p is None else p
-    Ts = getattr(kf, "Ts", 1.0)
-    tvec = jnp.arange(T) * Ts
-    m0, P0 = kf.d0.mean, kf.d0.cov
-    nx = m0.shape[-1]
-
-    F = _resolve_seq(kf.A, m0, u_seq, tvec, p)
-    B = _resolve_seq(kf.B, m0, u_seq, tvec, p)
-    H = _resolve_seq(kf.C, m0, u_seq, tvec, p)
-    D = _resolve_seq(kf.D, m0, u_seq, tvec, p)
-    Q = _resolve_seq(kf.R1, m0, u_seq, tvec, p)
-    R = _resolve_seq(kf.R2, m0, u_seq, tvec, p)
-    c = (
-        jnp.einsum("tij,tj->ti", B, u_seq)
-        if (B is not None and u_seq.shape[-1])
-        else jnp.zeros((T, nx), dtype=y.dtype)
-    )
-    y_eff = y - jnp.einsum("tij,tj->ti", D, u_seq) if D is not None else y
-
     elems = _filter_elements(F, c, H, Q, R, y_eff, m0, P0)
     A_, b_, C_, eta_, J_ = jax.lax.associative_scan(_filter_combine, elems)
     xt, Rt = b_, C_  # filtered moments
@@ -157,7 +151,58 @@ def parallel_forward_trajectory(kf, u, y, p=None) -> KalmanFilteringSolution:
     Schol = jnp.linalg.cholesky(S)
     K = jax.vmap(rdiv_chol)(jnp.einsum("tij,tkj->tik", R_pred, H), Schol)
     lls = jax.vmap(lambda ek, Lk: mvnormal_logpdf(ek, jnp.zeros_like(ek), Lk))(e, Schol)
+    return x_pred, R_pred, xt, Rt, e, S, Schol, K, lls
+
+
+def _parallel_smooth_core(F, c, Q, xt, Rt):
+    """Associative-scan RTS backward pass on a prepared affine model."""
+    elems = _smooth_elements(F, c, Q, xt, Rt)
+    _, g, L = jax.lax.associative_scan(
+        lambda a, b: _smooth_combine(b, a), elems, reverse=True
+    )
+    return g, L
+
+
+def parallel_forward_trajectory(kf, u, y, p=None) -> KalmanFilteringSolution:
+    """O(log T)-depth Kalman filtering pass via `lax.associative_scan`.
+
+    Matches :func:`...trajectory.kalman_forward_trajectory` outputs
+    (x, xt, R, Rt, ll, e, S, K) for constant or stacked/callable
+    time-varying system matrices that do not depend on the state.
+    """
+    y = jnp.asarray(y)
+    T = y.shape[0]
+    u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+    p = kf.p if p is None else p
+    Ts = getattr(kf, "Ts", 1.0)
+    tvec = jnp.arange(T) * Ts
+    m0, P0 = kf.d0.mean, kf.d0.cov
+    nx = m0.shape[-1]
+
+    F = _resolve_seq(kf.A, m0, u_seq, tvec, p, Ts)
+    B = _resolve_seq(kf.B, m0, u_seq, tvec, p, Ts)
+    H = _resolve_seq(kf.C, m0, u_seq, tvec, p, Ts)
+    D = _resolve_seq(kf.D, m0, u_seq, tvec, p, Ts)
+    Q = _resolve_seq(kf.R1, m0, u_seq, tvec, p, Ts)
+    R = _resolve_seq(kf.R2, m0, u_seq, tvec, p, Ts)
+    c = (
+        jnp.einsum("tij,tj->ti", B, u_seq)
+        if (B is not None and u_seq.shape[-1])
+        else jnp.zeros((T, nx), dtype=y.dtype)
+    )
+    y_eff = y - jnp.einsum("tij,tj->ti", D, u_seq) if D is not None else y
+
+    x_pred, R_pred, xt, Rt, e, S, Schol, K, lls = _parallel_filter_core(
+        F, c, H, Q, R, y_eff, m0, P0
+    )
     ok = jnp.all(jnp.isfinite(xt), axis=-1)
+    flags = [
+        _state_indep_flag(M, m0, u_seq[0], p, tvec[0], Ts)
+        for M in (kf.A, kf.B, kf.C, kf.D, kf.R1, kf.R2)
+    ]
+    flags = [f for f in flags if f is not None]
+    if flags:
+        ok = ok & jnp.stack(flags).all()
     return KalmanFilteringSolution(
         u=u_seq, y=y, x=x_pred, xt=xt, R=R_pred, Rt=Rt, ll=jnp.sum(lls),
         e=e, K=K, S=S, extra=None, t=tvec, ok=ok,
@@ -209,18 +254,100 @@ def parallel_rts_smooth(kf, u, y, p=None, sol: Optional[KalmanFilteringSolution]
     m0 = kf.d0.mean
     nx = m0.shape[-1]
 
-    F = _resolve_seq(kf.A, m0, u_seq, tvec, p)
-    B = _resolve_seq(kf.B, m0, u_seq, tvec, p)
-    Q = _resolve_seq(kf.R1, m0, u_seq, tvec, p)
+    F = _resolve_seq(kf.A, m0, u_seq, tvec, p, Ts)
+    B = _resolve_seq(kf.B, m0, u_seq, tvec, p, Ts)
+    Q = _resolve_seq(kf.R1, m0, u_seq, tvec, p, Ts)
     c = (
         jnp.einsum("tij,tj->ti", B, u_seq)
         if (B is not None and u_seq.shape[-1])
         else jnp.zeros((T, nx), dtype=y.dtype)
     )
-    elems = _smooth_elements(F, c, Q, sol.xt, sol.Rt)
-    # reverse=True feeds operands as (later-suffix, earlier-element); our
-    # combination is written (earlier, later), so swap.
-    _, g, L = jax.lax.associative_scan(
-        lambda a, b: _smooth_combine(b, a), elems, reverse=True
-    )
+    # reverse=True feeds operands as (later-suffix, earlier-element); the
+    # combination is written (earlier, later) — _parallel_smooth_core swaps.
+    g, L = _parallel_smooth_core(F, c, Q, sol.xt, sol.Rt)
     return KalmanSmoothingSolution(sol=sol, xT=g, RT=L)
+
+
+# ---------------------------------------------------------------------------
+# Parallel *iterated extended* Kalman filter/smoother — the O(log T)
+# treatment for NONLINEAR models (García-Fernández, Sarmavuori & Särkkä,
+# "Parallel iterated extended and sigma-point Kalman smoothers"; same
+# associative operators as above, arXiv:1905.13002).
+# ---------------------------------------------------------------------------
+
+
+def parallel_iekf_smooth(ekf, u, y, p=None, *, iters: int = 8):
+    """O(log T)-depth iterated extended Kalman smoother.
+
+    Gauss–Newton on the MAP trajectory: each iteration linearizes the
+    nonlinear dynamics/measurement along the current smoothed trajectory
+    (an affine time-varying model) and runs the associative-scan Kalman
+    filter + RTS smoother on it.  The fixed point is the iterated EKS
+    (MAP) trajectory; one sequential pass of the classic EKS is the same
+    construction with a per-step running linearization, so the two agree
+    on mildly nonlinear models and exactly on linear ones.
+
+    The sequential counterpart is ``ExtendedKalmanFilter.smooth``
+    (ekf.jl:193-225); this routine gives nonlinear models the same
+    O(log T) treatment :func:`parallel_forward_trajectory` gives linear
+    ones.  Requires an EKF-shaped measurement model (measurement + Cjac).
+
+    Returns a :class:`KalmanSmoothingSolution` whose ``sol`` is the
+    filtered solution of the *final* linearization.
+    """
+    mm = ekf.measurement_model
+    if not hasattr(mm, "measurement"):
+        raise TypeError("parallel_iekf_smooth needs an EKF-shaped measurement model")
+    y = jnp.asarray(y)
+    T = y.shape[0]
+    u_seq = jnp.zeros((T, 0), dtype=y.dtype) if u is None else jnp.asarray(u)
+    p = ekf.p if p is None else p
+    Ts = getattr(ekf, "Ts", 1.0)
+    tvec = jnp.arange(T) * Ts
+    m0, P0 = ekf.d0.mean, ekf.d0.cov
+
+    dyn = ekf.dynamics
+    h = mm.measurement
+    Ajac = ekf._Ajac
+    Cjac = mm._Cjac
+    Q = _resolve_seq(ekf.R1, m0, u_seq, tvec, p, Ts)
+    R = _resolve_seq(mm.R2, m0, u_seq, tvec, p, Ts)
+
+    # initial nominal trajectory: noiseless rollout from the prior mean
+    def roll(x, inp):
+        uk, tk = inp
+        return dyn(x, uk, p, tk), x
+
+    _, xbar0 = jax.lax.scan(roll, m0, (u_seq, tvec))
+
+    def linearize(xbar):
+        F = jax.vmap(lambda xk, uk, tk: Ajac(xk, uk, p, tk))(xbar, u_seq, tvec)
+        fx = jax.vmap(lambda xk, uk, tk: dyn(xk, uk, p, tk))(xbar, u_seq, tvec)
+        c = fx - jnp.einsum("tij,tj->ti", F, xbar)
+        H = jax.vmap(lambda xk, uk, tk: Cjac(xk, uk, p, tk))(xbar, u_seq, tvec)
+        hx = jax.vmap(lambda xk, uk, tk: h(xk, uk, p, tk))(xbar, u_seq, tvec)
+        d = hx - jnp.einsum("tij,tj->ti", H, xbar)
+        return F, c, H, y - d
+
+    def one_iter(xbar, _):
+        F, c, H, y_eff = linearize(xbar)
+        _, _, xt, Rt, _, _, _, _, _ = _parallel_filter_core(
+            F, c, H, Q, R, y_eff, m0, P0
+        )
+        xT, _ = _parallel_smooth_core(F, c, Q, xt, Rt)
+        return xT, None
+
+    xbar, _ = jax.lax.scan(one_iter, xbar0, None, length=max(1, iters))
+
+    # Final pass at the converged trajectory to assemble full outputs.
+    F, c, H, y_eff = linearize(xbar)
+    x_pred, R_pred, xt, Rt, e, S, Schol, K, lls = _parallel_filter_core(
+        F, c, H, Q, R, y_eff, m0, P0
+    )
+    xT, RT = _parallel_smooth_core(F, c, Q, xt, Rt)
+    ok = jnp.all(jnp.isfinite(xT), axis=-1)
+    sol = KalmanFilteringSolution(
+        u=u_seq, y=y, x=x_pred, xt=xt, R=R_pred, Rt=Rt, ll=jnp.sum(lls),
+        e=e, K=K, S=S, extra=None, t=tvec, ok=ok,
+    )
+    return KalmanSmoothingSolution(sol=sol, xT=xT, RT=RT)

@@ -44,7 +44,7 @@ def rts_smooth(sol: KalmanFilteringSolution, kf, p=None) -> KalmanSmoothingSolut
     def backstep(carry, inp):
         xT_next, RT_next = carry
         xt_k, Rt_k, x_next, R_next, u_k, t_k = inp
-        At = resolve_mat(kf.A, xt_k, u_k, p, t_k)
+        At = resolve_mat(kf.A, xt_k, u_k, p, t_k, Ts=Ts)
         Rchol = chol_lower(R_next)
         C = rdiv_chol(Rt_k @ At.T, Rchol)
         xT_k = xt_k + C @ (xT_next - x_next)
@@ -78,14 +78,14 @@ def smooth_mbf(sol: KalmanFilteringSolution, kf, p=None):
     def backstep(carry, inp):
         lam_hat, Lam_hat = carry
         xt_k, u_k, t_k, K_k, S_k, e_k, Rt_k, xt_prev, u_prev, t_prev = inp
-        H = resolve_mat(kf.C, xt_k, u_k, p, t_k)
+        H = resolve_mat(kf.C, xt_k, u_k, p, t_k, Ts=Ts)
         Cm = jnp.eye(nx, dtype=xt.dtype) - K_k @ H
         # S_k stored as a full matrix; solve Hᵀ S⁻¹ via Cholesky.
         HTS = rdiv_chol(H.T, chol_lower(S_k))
         r_k = Cm.T @ lam_hat
         lam_tilde = -HTS @ e_k + Cm.T @ lam_hat
         Lam_tilde = HTS @ H + Cm.T @ Lam_hat @ Cm
-        F = resolve_mat(kf.A, xt_prev, u_prev, p, t_prev)
+        F = resolve_mat(kf.A, xt_prev, u_prev, p, t_prev, Ts=Ts)
         lam_hat_prev = F.T @ lam_tilde
         Lam_hat_prev = F.T @ Lam_tilde @ F
         xT_k = xt_k - Rt_k @ lam_hat
@@ -155,11 +155,19 @@ def ffbs_smooth(pf, sol, M: int, key: jax.Array, u=None, y=None, p=None):
         xpred = jax.vmap(lambda xn: f(xn, u_t, p, t_t))(xf_t)
         if gaussian:
             # quadratic-form expansion → MXU matmul (up to the shared
-            # normalization constant, irrelevant to the categorical draw)
-            db = xb_next - mu
-            cm = jnp.einsum("mi,ij,mj->m", db, Sinv, db)
-            cn = jnp.einsum("ni,ij,nj->n", xpred, Sinv, xpred)
-            cross = db @ Sinv @ xpred.T  # [M, N] — the MXU contraction
+            # normalization constant, irrelevant to the categorical draw).
+            # The form is shift-invariant, so both sides are centred on the
+            # predicted-particle mean to avoid catastrophic cancellation of
+            # the three terms when the cloud sits far from the origin, and
+            # the big [M,nx]x[nx,N] contraction runs at precision=HIGHEST
+            # (the v5e MXU defaults to bf16 passes).
+            hi = jax.lax.Precision.HIGHEST
+            shift = jnp.mean(xpred, axis=0)
+            db = xb_next - mu - shift
+            dp = xpred - shift
+            cm = jnp.einsum("mi,ij,mj->m", db, Sinv, db, precision=hi)
+            cn = jnp.einsum("ni,ij,nj->n", dp, Sinv, dp, precision=hi)
+            cross = jnp.matmul(db @ Sinv, dp.T, precision=hi)  # [M, N]
             logp = -0.5 * (cm[:, None] + cn[None, :]) + cross
         else:
             diff = xb_next[:, None, :] - xpred[None, :, :]  # [M, N, nx]

@@ -99,11 +99,14 @@ def kalman_forward_trajectory(
     pre_predict_cb=None,
     post_predict_cb=None,
     mm=None,
+    unroll: int = 1,
 ):
     """`forward_trajectory` for Kalman-type filters (filtering.jl:282-327).
 
     Step order matches the reference exactly: save prediction → correct →
-    save filtered → predict.
+    save filtered → predict.  ``unroll`` unrolls the scan body (TPU: a
+    small-state sequential pass is dispatch-bound; unroll=8-32 amortizes
+    the loop bookkeeping at the cost of compile time).
     """
     y = jnp.asarray(y)
     T = y.shape[0]
@@ -133,7 +136,7 @@ def kalman_forward_trajectory(
         return state, ys
 
     _, (x, R, xt, Rt, lls, e, S, Schol, K, extra, ok) = jax.lax.scan(
-        step, state0, (u_seq, y, tvec)
+        step, state0, (u_seq, y, tvec), unroll=unroll
     )
     return KalmanFilteringSolution(
         u=u_seq,
@@ -158,7 +161,7 @@ def kalman_forward_trajectory(
 # ---------------------------------------------------------------------------
 
 
-def loglik(f, u, y, p=None, **kwargs):
+def loglik(f, u, y, p=None, unroll: int = 1, **kwargs):
     """Total log-likelihood of the data (smoothing.jl:227-236)."""
     if hasattr(f, "loglik"):
         return f.loglik(u, y, p, **kwargs)
@@ -173,7 +176,7 @@ def loglik(f, u, y, p=None, **kwargs):
         state, info = f.update(state, uk, yk, p, tk, **kwargs)
         return state, info.ll
 
-    _, lls = jax.lax.scan(step, state0, (u_seq, y, tvec))
+    _, lls = jax.lax.scan(step, state0, (u_seq, y, tvec), unroll=unroll)
     return jnp.sum(lls)
 
 
@@ -249,10 +252,16 @@ def simulate(
     dispatch to their joint-noise simulator (ekf.jl:233-272) so the
     generated data carries the modeled correlation.
     """
+    if isinstance(u_or_T, int):
+        # Sample the input sequence first so the R12 joint-noise dispatch
+        # below also covers simulate(f, T, key, du=...).
+        if du is None:
+            raise ValueError("provide du (input density) when simulating T steps")
+        key, ku = jax.random.split(key)
+        u_or_T = du.sample(ku, (u_or_T,))
     if (
         hasattr(f, "simulate_correlated")
         and getattr(getattr(f, "measurement_model", None), "R12", None) is not None
-        and not isinstance(u_or_T, int)
         and dynamics_noise and measurement_noise
     ):
         return f.simulate_correlated(
@@ -260,13 +269,7 @@ def simulate(
             measurement_noise=measurement_noise, sample_initial=sample_initial,
         )
     p = getattr(f, "p", None) if p is None else p
-    if isinstance(u_or_T, int):
-        if du is None:
-            raise ValueError("provide du (input density) when simulating T steps")
-        key, ku = jax.random.split(key)
-        u = du.sample(ku, (u_or_T,))
-    else:
-        u = jnp.asarray(u_or_T)
+    u = jnp.asarray(u_or_T)
     T = u.shape[0]
     Ts = getattr(f, "Ts", 1.0)
 

@@ -29,10 +29,10 @@ def linearize(f, x, u, p=None, t=0.0):
     u = jnp.asarray(u)
     if hasattr(f, "A") and not callable(getattr(f, "dynamics", None)):
         return (
-            resolve_mat(f.A, x, u, p, t),
-            resolve_mat(f.B, x, u, p, t),
-            resolve_mat(f.C, x, u, p, t),
-            resolve_mat(f.D, x, u, p, t),
+            resolve_mat(f.A, x, u, p, t, Ts=getattr(f, "Ts", 1.0)),
+            resolve_mat(f.B, x, u, p, t, Ts=getattr(f, "Ts", 1.0)),
+            resolve_mat(f.C, x, u, p, t, Ts=getattr(f, "Ts", 1.0)),
+            resolve_mat(f.D, x, u, p, t, Ts=getattr(f, "Ts", 1.0)),
         )
     dyn = f.dynamics if callable(getattr(f, "dynamics", None)) else f.dynamics_fn()
     if hasattr(f, "measurement_model"):
@@ -130,8 +130,8 @@ def kalman_gain(f_or_A, x=None, u=None, p=None, t=0.0, *, C=None, R1=None,
     if C is None:
         f = f_or_A
         A, _, C, _ = linearize(f, x, u, p, t)
-        R1 = resolve_mat(f.R1, x, u, p, t)
-        R2 = resolve_mat(f.R2, x, u, p, t)
+        R1 = resolve_mat(f.R1, x, u, p, t, Ts=getattr(f, "Ts", 1.0))
+        R2 = resolve_mat(f.R2, x, u, p, t, Ts=getattr(f, "Ts", 1.0))
     else:
         A = jnp.asarray(f_or_A)
     P = dare(A, C, R1, R2, iters=iters)
@@ -160,7 +160,7 @@ def covar(f, x, u, p=None, t=0.0) -> jax.Array:
     driven by R1 (ControlSystemsBaseExt.jl:107-113)."""
     A, _, _, _ = linearize(f, x, u, p, t)
     p = getattr(f, "p", None) if p is None else p
-    R1 = resolve_mat(f.R1, jnp.asarray(x), u, p, t)
+    R1 = resolve_mat(f.R1, jnp.asarray(x), u, p, t, Ts=getattr(f, "Ts", 1.0))
     return dlyap(A, R1)
 
 

@@ -319,3 +319,179 @@ class TestShardedEnKF:
         ll_sh = float(run(state, us, ys))
         ll_kf = float(llpf.loglik(kf, us, ys))
         assert abs(ll_sh - ll_kf) < 0.05 * abs(ll_kf), (ll_sh, ll_kf)
+
+
+class TestParallelIEKS:
+    """O(log T) iterated extended smoother (round-2 VERDICT item #5b)."""
+
+    def _lin(self):
+        A = jnp.array([[1.0, 0.1], [0.0, 0.97]])
+        B = jnp.array([[0.005], [0.1]])
+        C = jnp.array([[1.0, 0.0]])
+        R1 = jnp.array([[0.005, 0.0], [0.0, 0.01]])
+        R2 = 0.1 * jnp.eye(1)
+        d0 = llpf.MvNormal(jnp.zeros(2), 2 * R1)
+        kf = llpf.KalmanFilter(A, B, C, 0, R1, R2, d0=d0)
+        ekf = llpf.make_ekf(
+            lambda x, u, p, t: A @ x + B @ u,
+            lambda x, u, p, t: C @ x,
+            R1, R2, d0=llpf.MvNormal(jnp.zeros(2), 2 * R1), nu=1, ny=1,
+        )
+        return kf, ekf
+
+    def test_linear_exact(self):
+        """On a linear model the iterated parallel smoother equals the
+        exact RTS smoother after one iteration."""
+        kf, ekf = self._lin()
+        us = jnp.asarray(np.random.default_rng(0).normal(size=(100, 1)))
+        _, _, ys = llpf.simulate(kf, us, jax.random.PRNGKey(0))
+        ss_seq = llpf.smooth(kf, us, ys)
+        ss_par = llpf.parallel_iekf_smooth(ekf, us, ys, iters=1)
+        np.testing.assert_allclose(
+            np.asarray(ss_par.xT), np.asarray(ss_seq.xT), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(ss_par.RT), np.asarray(ss_seq.RT), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            float(ss_par.sol.ll), float(ss_seq.sol.ll), rtol=1e-9
+        )
+
+    def test_nonlinear_matches_sequential_eks(self):
+        """Mildly nonlinear model: converged parallel IEKS ≈ sequential
+        EKF-RTS smoother (both first-order smoothers of the same
+        posterior)."""
+        R1 = 0.01 * jnp.eye(2)
+        R2 = 0.1 * jnp.eye(1)
+        d0 = llpf.MvNormal(jnp.zeros(2), 0.5 * jnp.eye(2))
+
+        def dyn(x, u, p, t):
+            return jnp.array(
+                [0.9 * x[0] + 0.1 * jnp.sin(x[1]), 0.95 * x[1] + 0.1 * u[0]]
+            )
+
+        def meas(x, u, p, t):
+            return jnp.atleast_1d(x[0] + 0.05 * x[0] ** 2)
+
+        ekf = llpf.make_ekf(dyn, meas, R1, R2, d0=d0, nu=1, ny=1)
+        us = 0.3 * jnp.asarray(np.random.default_rng(1).normal(size=(120, 1)))
+        _, _, ys = llpf.simulate(ekf, us, jax.random.PRNGKey(1))
+        ss_seq = ekf.smooth(us, ys)
+        ss_par = llpf.parallel_iekf_smooth(ekf, us, ys, iters=10)
+        assert bool(jnp.all(jnp.isfinite(ss_par.xT)))
+        np.testing.assert_allclose(
+            np.asarray(ss_par.xT), np.asarray(ss_seq.xT), atol=5e-2
+        )
+        # the IEKS trajectory should explain the data at least as well as
+        # one EKS pass in terms of smoothed measurement residuals
+        def sse(xT):
+            r = ys - jax.vmap(lambda xk, uk: meas(xk, uk, None, 0.0))(xT, us)
+            return float(jnp.sum(r * r))
+        assert sse(ss_par.xT) <= sse(ss_seq.xT) * 1.05
+
+    def test_state_dependent_matrix_trips_ok_flag(self):
+        """parallel_forward_trajectory assumes state-independent matrices;
+        a state-dependent callable must surface as sol.ok == False
+        (round-2 fix of VERDICT weak #6), not silently wrong numbers."""
+        kf_bad = llpf.KalmanFilter(
+            lambda x, u, p, t: jnp.eye(2) * (0.9 + 0.01 * x[0]),
+            jnp.array([[0.1], [0.0]]), jnp.eye(2), 0,
+            0.01 * jnp.eye(2), 0.1 * jnp.eye(2),
+            d0=llpf.MvNormal(jnp.zeros(2), 0.5 * jnp.eye(2)), nx=2, ny=2,
+        )
+        us = jnp.zeros((20, 1))
+        ys = jnp.asarray(np.random.default_rng(2).normal(size=(20, 2)))
+        sol = llpf.parallel_forward_trajectory(kf_bad, us, ys)
+        assert not bool(jnp.any(sol.ok))
+        # a state-independent callable keeps ok True
+        kf_ok = llpf.KalmanFilter(
+            lambda x, u, p, t: jnp.eye(2) * 0.9,
+            jnp.array([[0.1], [0.0]]), jnp.eye(2), 0,
+            0.01 * jnp.eye(2), 0.1 * jnp.eye(2),
+            d0=llpf.MvNormal(jnp.zeros(2), 0.5 * jnp.eye(2)), nx=2, ny=2,
+        )
+        sol2 = llpf.parallel_forward_trajectory(kf_ok, us, ys)
+        assert bool(jnp.all(sol2.ok))
+
+
+class TestDistributedResample:
+    """O(N/devices)-traffic systematic resample (round-2 VERDICT item #7):
+    the neighbor-exchange path must agree with the gather-to-replicated
+    path on the same PRNG stream, and fall back gracefully on skew."""
+
+    def _state(self, key, N, skew=None):
+        from lowlevelparticlefilters_jl_tpu.filters.particle import PFState
+        k1, k2 = jax.random.split(jax.random.PRNGKey(17))
+        x = jax.random.normal(k1, (N, 3))
+        logw = jax.random.normal(k2, (N,)) * (skew or 1.0)
+        we = jnp.exp(logw - jax.scipy.special.logsumexp(logw))
+        w = jnp.log(we)
+        return PFState(x=x, w=w, we=we, t=jnp.asarray(0, jnp.int32), key=key)
+
+    def _run(self, impl_name, state, pf, mesh, axis="particles"):
+        from functools import partial
+        import lowlevelparticlefilters_jl_tpu.parallel.sharded as sh
+        from lowlevelparticlefilters_jl_tpu.filters.particle import PFState
+        from jax.sharding import PartitionSpec as P
+        impl = getattr(sh, impl_name)
+        spec = PFState(x=P(axis, None), w=P(axis), we=P(axis), t=P(), key=P())
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(spec,), out_specs=(P(axis, None), P(axis), P(axis), P()),
+                 check_vma=False)
+        def go(st):
+            return impl(st, pf, axis)
+
+        return go(state)
+
+    @pytest.mark.parametrize("threshold", [1.0, 0.5])
+    def test_matches_replicated_path(self, threshold):
+        from lowlevelparticlefilters_jl_tpu.parallel.sharded import (
+            particle_mesh, shard_pf_state,
+        )
+        pf = llpf.ParticleFilter(
+            N=1024,
+            dynamics=lambda x, u, p, t: x,
+            measurement=lambda x, u, p, t: x,
+            dynamics_density=0.1 * jnp.eye(3),
+            measurement_density=0.1 * jnp.eye(3),
+            initial_density=jnp.eye(3),
+            resample_threshold=threshold,
+        )
+        mesh = particle_mesh(8)
+        st = shard_pf_state(self._state(jax.random.PRNGKey(0), 1024), mesh)
+        x_d, w_d, we_d, _ = self._run("_resample_distributed", st, pf, mesh)
+        x_g, w_g, we_g, _ = self._run("_resample_global", st, pf, mesh)
+        np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_g), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(w_d), np.asarray(w_g), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(we_d), np.asarray(we_g), atol=1e-12)
+
+    def test_skewed_weights_fall_back_exactly(self):
+        """One shard holding ~all the weight forces offspring outside the
+        ±1-shard window — the psum'd overflow flag must route every shard
+        to the exact gather path (identical output)."""
+        from lowlevelparticlefilters_jl_tpu.parallel.sharded import (
+            particle_mesh, shard_pf_state,
+        )
+        from lowlevelparticlefilters_jl_tpu.filters.particle import PFState
+        pf = llpf.ParticleFilter(
+            N=512,
+            dynamics=lambda x, u, p, t: x,
+            measurement=lambda x, u, p, t: x,
+            dynamics_density=0.1 * jnp.eye(3),
+            measurement_density=0.1 * jnp.eye(3),
+            initial_density=jnp.eye(3),
+            resample_threshold=1.0,
+        )
+        mesh = particle_mesh(8)
+        # all weight on the last shard's particles
+        N = 512
+        x = jax.random.normal(jax.random.PRNGKey(1), (N, 3))
+        we = jnp.concatenate([jnp.full((N - 64,), 1e-12), jnp.full((64,), 1.0 / 64)])
+        we = we / jnp.sum(we)
+        st = PFState(x=x, w=jnp.log(we), we=we,
+                     t=jnp.asarray(0, jnp.int32), key=jax.random.PRNGKey(2))
+        st = shard_pf_state(st, mesh)
+        x_d, _, _, _ = self._run("_resample_distributed", st, pf, mesh)
+        x_g, _, _, _ = self._run("_resample_global", st, pf, mesh)
+        np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_g), atol=1e-12)
