@@ -226,7 +226,11 @@ class DAEUnscentedKalmanFilter(AbstractKalmanFilter):
 
     # -- generative model (for simulate) ---------------------------------
     def sample_initial(self, key, p=None, noise=True):
-        return self.d0.sample(key) if noise else self.d0.mean
+        """Draw a differential state from d0 and reproject onto the
+        manifold — simulate carries full descriptors (sample_state)."""
+        x0 = self.d0.sample(key) if noise else self.d0.mean
+        xz, _ = self.calc_xz(self.xz0, None, p, 0.0, x0)
+        return xz
 
     def sample_state(self, key, x, u, p=None, t=0, noise=True):
         """Propagate a full descriptor; additive noise on the differential

@@ -92,10 +92,14 @@ def smooth_mbf(sol: KalmanFilteringSolution, kf, p=None):
         RT_k = Rt_k - symmetrize(Rt_k @ Lam_hat @ Rt_k)
         return (lam_hat_prev, Lam_hat_prev), (xT_k, RT_k, lam_tilde, lam_hat, r_k)
 
-    # Shift xt/u/t by one for the F evaluation at step t-1 (smoothing.jl:81).
+    # Shift xt/u/t by one for the F evaluation at step t-1 (smoothing.jl:81):
+    # the transition (t-1) -> t is A resolved at step t-1, i.e. tvec[t-1]
+    # (shifting tvec already moves one step back — subtracting another Ts
+    # was an off-by-one that only cancelled for constant A, caught by the
+    # test_smoother_timevarying.jl mirror).
     xt_prev = jnp.concatenate([xt[:1], xt[:-1]], axis=0)
     u_prev = jnp.concatenate([sol.u[:1], sol.u[:-1]], axis=0)
-    t_prev = jnp.concatenate([tvec[:1], tvec[:-1] - Ts], axis=0)
+    t_prev = jnp.concatenate([tvec[:1], tvec[:-1]], axis=0)
     inps = (xt, sol.u, tvec, sol.K, sol.S, sol.e, Rt, xt_prev, u_prev, t_prev)
     carry0 = (jnp.zeros(nx, dtype=xt.dtype), jnp.zeros((nx, nx), dtype=xt.dtype))
     _, (xT, RT, lam_tilde, lam_hat, r) = jax.lax.scan(

@@ -170,3 +170,75 @@ class TestLinearScalarDAE:
         f = lambda z: z**3 - jnp.array([8.0])
         z = solve(f, jnp.array([1.0]))
         np.testing.assert_allclose(np.asarray(z), [2.0], atol=1e-6)
+
+
+class TestErrorPaths:
+    """Error-path parity with test_daeukf.jl:880-940: the reference raises
+    mid-call; the jit-compatible design surfaces the same failures as
+    ``info.resnorm`` (constraint health) and NaN-propagation + ``sol.ok``
+    (Cholesky breakdown) — SURVEY §5 failure-detection mapping."""
+
+    def test_bad_solver_surfaces_large_resnorm(self):
+        """A do-nothing constraint solver leaves the sigma points off the
+        manifold; the residual norm must surface in info.resnorm (the
+        @test_logs warn analogue, test_daeukf.jl:880-887)."""
+        f = _make_filter(0.05, 0.02, 0.5, 0.3)
+        bad = llpf.DAEUnscentedKalmanFilter(
+            dynamics=dae_dynamics, measurement=dae_measurement,
+            residual=residual, get_x_z=get_x_z, build_xz=build_xz,
+            R1=jnp.array([[0.05]]), R2=jnp.array([[0.02]]),
+            d0=llpf.MvNormal(jnp.array([5.0]), jnp.array([[0.5]])),
+            xz0=build_xz(jnp.array([5.0]), jnp.array([C1 - 0.3])),  # off-manifold warm start
+            nu=1, ny=1, Ts=DT1,
+            constraint_solver=lambda fres, z0: z0,  # does nothing
+        )
+        st = bad.init()
+        st, info = bad.correct(st, jnp.array([0.0]), jnp.array([0.0]))
+        assert float(info.resnorm) > 1.0  # residual ≈ |x + z - C1| ≫ tol
+        # the healthy filter keeps resnorm tiny on the same step
+        stg = f.init()
+        _, info_good = f.correct(stg, jnp.array([0.0]), jnp.array([0.0]))
+        assert float(info_good.resnorm) < 1e-6
+
+    def test_indefinite_R2_propagates_nan_and_flags_ok(self):
+        """Indefinite innovation covariance: the reference raises a clear
+        ErrorException (test_daeukf.jl:929-940); the jit-safe equivalent is
+        NaN-propagating Cholesky + sol.ok == False."""
+        f = _make_filter(0.05, 0.02, 0.5, 0.3)
+        st = f.init()
+        st = f.predict(st, jnp.array([0.0]))
+        _, info = f.correct(
+            st, jnp.array([0.0]), jnp.array([0.0]), R2=jnp.array([[-1.0]])
+        )
+        assert not np.isfinite(float(info.ll))
+
+    def test_forward_trajectory_ok_flags_cholesky_breakdown(self):
+        """End-to-end: a trajectory driven with an indefinite R2 override
+        must come back with ok == False everywhere, not wrong numbers."""
+        f = _make_filter(0.05, 0.02, 0.5, 0.3)
+        T = 10
+        us = jnp.zeros((T, 1))
+        ys = 0.1 * jnp.ones((T, 1))
+        sol = llpf.forward_trajectory(
+            f, us, ys,
+            pre_correct_cb=lambda *a: jnp.array([[-1.0]]),
+        )
+        assert not bool(jnp.any(sol.ok))
+
+    def test_resnorm_monitoring_via_callback(self):
+        """The 4-callback protocol can watch constraint health per step —
+        the functional replacement for the reference's @warn
+        (ukf.jl:1176-1177)."""
+        f = _make_filter(0.05, 0.02, 0.5, 0.3)
+        T = 15
+        us = jnp.zeros((T, 1))
+        kf_key = jax.random.PRNGKey(0)
+        _, _, ys = llpf.simulate(f, us, kf_key)
+
+        def post_correct_cb(flt, state, info, u, y, p, t):
+            return state, info.resnorm
+
+        sol = llpf.forward_trajectory(f, us, ys, post_correct_cb=post_correct_cb)
+        resnorms = np.asarray(sol.extra)
+        assert resnorms.shape == (T,)
+        assert resnorms.max() < 1e-6

@@ -180,3 +180,143 @@ class TestConstraints:
 
         g = jax.grad(loss)(mu)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestAutotuneMatrix:
+    """The reference's full MLE/MAP case matrix
+    (test_autotune_covariances.jl:37-350): per-filter-type tuning with
+    diagonal and full (Cholesky) parametrizations, x0 optimization, and
+    Inverse-Wishart priors."""
+
+    A = jnp.array([[0.97043, -0.097368], [0.097368, 0.970437]])
+    B = jnp.array([[0.1], [0.0]])
+    C = jnp.eye(2)
+    d0 = staticmethod(lambda: llpf.MvNormal(jnp.zeros(2), 0.5 * jnp.eye(2)))
+
+    def _data(self, linsys, T=100, seed=0):
+        kf_true, us_all, ys_all, R1, R2 = linsys
+        xs = None
+        us, ys = us_all[:T], ys_all[:T]
+        xs, _, ys = llpf.simulate(kf_true, us, jax.random.PRNGKey(seed))
+        return kf_true, xs, us, ys, R1, R2
+
+    def _detuned_kf(self, linsys, scale1=5.0, scale2=0.2):
+        _, _, _, R1, R2 = linsys
+        return llpf.KalmanFilter(self.A, self.B, self.C, 0, scale1 * R1,
+                                 scale2 * R2, d0=self.d0())
+
+    def test_kf_full_parametrization_psd(self, linsys):
+        """Full (triangular) parametrization improves ll and returns PSD
+        covariances (test_autotune_covariances.jl:66-94)."""
+        kf_true, xs, us, ys, R1, R2 = self._data(linsys)
+        kf0 = self._detuned_kf(linsys)
+        ll0 = float(llpf.loglik(kf0, us, ys))
+        f_opt, info = llpf.autotune_covariances(
+            kf0, us, ys, diagonal=False, iters=25
+        )
+        ll1 = float(llpf.loglik(f_opt, us, ys))
+        assert ll1 > ll0
+        for R in (info["R1"], info["R2"]):
+            evals = np.linalg.eigvalsh(np.asarray(R))
+            assert evals.min() > 0
+
+    def test_kf_optimize_x0(self, linsys):
+        """optimize_x0=true moves x0 toward the true initial state
+        (test_autotune_covariances.jl:97-124)."""
+        A, B, C = self.A, self.B, self.C
+        kf_true, xs, us, ys, R1, R2 = self._data(linsys)
+        x_true0 = np.asarray(xs[0])
+        d0_wrong = llpf.MvNormal(jnp.asarray([3.0, -3.0]), jnp.eye(2))
+        kf0 = llpf.KalmanFilter(A, B, C, 0, 5 * R1, R2, d0=d0_wrong)
+        ll0 = float(llpf.loglik(kf0, us, ys))
+        f_opt, info = llpf.autotune_covariances(
+            kf0, us, ys, optimize_x0=True, iters=25
+        )
+        assert float(llpf.loglik(f_opt, us, ys)) > ll0
+        assert info["x0"].shape == (2,)
+        assert (np.linalg.norm(np.asarray(info["x0"]) - x_true0)
+                < np.linalg.norm(np.asarray(d0_wrong.mean) - x_true0))
+
+    def test_ekf_diagonal(self, linsys):
+        """EKF tuning (test_autotune_covariances.jl:127-152)."""
+        A, B, C, d0 = self.A, self.B, self.C, self.d0()
+        kf_true, xs, us, ys, R1, R2 = self._data(linsys)
+        ekf0 = llpf.make_ekf(
+            lambda x, u, p, t: A @ x + B @ u,
+            lambda x, u, p, t: C @ x,
+            5 * R1, 0.2 * R2, d0=d0, nu=B.shape[1], ny=C.shape[0],
+        )
+        ll0 = float(llpf.loglik(ekf0, us, ys))
+        f_opt, info = llpf.autotune_covariances(ekf0, us, ys, iters=20)
+        assert float(llpf.loglik(f_opt, us, ys)) > ll0
+        assert isinstance(f_opt, llpf.ExtendedKalmanFilter)
+
+    def test_ukf_diagonal(self, linsys):
+        """UKF tuning (test_autotune_covariances.jl:155-181)."""
+        A, B, C, d0 = self.A, self.B, self.C, self.d0()
+        kf_true, xs, us, ys, R1, R2 = self._data(linsys)
+        ukf0 = llpf.make_ukf(
+            lambda x, u, p, t: A @ x + B @ u,
+            lambda x, u, p, t: C @ x,
+            5 * R1, 0.2 * R2, d0=d0, nu=B.shape[1], ny=C.shape[0],
+        )
+        ll0 = float(llpf.loglik(ukf0, us, ys))
+        f_opt, info = llpf.autotune_covariances(ukf0, us, ys, iters=20)
+        assert float(llpf.loglik(f_opt, us, ys)) > ll0
+        assert isinstance(f_opt, llpf.UnscentedKalmanFilter)
+
+    def test_ukf_augmented_dynamics(self, linsys):
+        """AUGD=true (test_autotune_covariances.jl:184-213)."""
+        A, B, C, d0 = self.A, self.B, self.C, self.d0()
+        kf_true, xs, us, ys, R1, R2 = self._data(linsys)
+        ukf0 = llpf.make_ukf(
+            lambda x, u, p, t, w: A @ x + B @ u + w,
+            lambda x, u, p, t: C @ x,
+            5 * R1, 0.2 * R2, d0=d0, nu=B.shape[1], ny=C.shape[0],
+            augmented_dynamics=True,
+        )
+        ll0 = float(llpf.loglik(ukf0, us, ys))
+        f_opt, info = llpf.autotune_covariances(ukf0, us, ys, iters=20)
+        assert float(llpf.loglik(f_opt, us, ys)) > ll0
+
+    def test_ukf_augmented_measurement(self, linsys):
+        """AUGM=true (test_autotune_covariances.jl:216-245)."""
+        A, B, C, d0 = self.A, self.B, self.C, self.d0()
+        kf_true, xs, us, ys, R1, R2 = self._data(linsys)
+        ukf0 = llpf.make_ukf(
+            lambda x, u, p, t: A @ x + B @ u,
+            lambda x, u, p, t, e: C @ x + e,
+            5 * R1, 0.2 * R2, d0=d0, nu=B.shape[1], ny=C.shape[0],
+            augmented_measurement=True,
+        )
+        ll0 = float(llpf.loglik(ukf0, us, ys))
+        f_opt, info = llpf.autotune_covariances(ukf0, us, ys, iters=20)
+        assert float(llpf.loglik(f_opt, us, ys)) > ll0
+
+    def test_x0_at_least_as_good_as_diag(self, linsys):
+        """diag+x0 ≥ diag (test_autotune_covariances.jl:248-293)."""
+        kf_true, xs, us, ys, R1, R2 = self._data(linsys)
+        kf0 = self._detuned_kf(linsys)
+        _, info_d = llpf.autotune_covariances(kf0, us, ys, iters=25)
+        _, info_dx = llpf.autotune_covariances(kf0, us, ys, optimize_x0=True, iters=25)
+        assert info_dx["neg_loglik"] <= info_d["neg_loglik"] + 1e-3
+
+    def test_map_strong_prior_stays_closer(self, linsys):
+        """Strong IW prior keeps R1 nearer the prior mean than MLE does
+        (test_autotune_covariances.jl:296-351)."""
+        kf_true, xs, us, ys, R1, R2 = self._data(linsys)
+        kf0 = self._detuned_kf(linsys)
+        R1_init = np.diag(np.asarray(kf0.R1))
+        _, info_mle = llpf.autotune_covariances(kf0, us, ys, iters=25)
+        _, info_weak = llpf.autotune_covariances(kf0, us, ys, v_R1=4.0, iters=25)
+        _, info_strong = llpf.autotune_covariances(kf0, us, ys, v_R1=2000.0, iters=25)
+        d = lambda info: np.linalg.norm(np.diag(np.asarray(info["R1"])) - R1_init)
+        # weak prior ≈ MLE; strong prior pinned near the prior mean
+        assert d(info_weak) < d(info_mle) + 0.5
+        assert d(info_strong) < d(info_mle)
+
+    def test_invalid_prior_dof_raises(self, linsys):
+        kf0 = self._detuned_kf(linsys)
+        kf_true, xs, us, ys, R1, R2 = self._data(linsys)
+        with pytest.raises(ValueError, match="v_R1"):
+            llpf.autotune_covariances(kf0, us, ys, v_R1=0.5)
