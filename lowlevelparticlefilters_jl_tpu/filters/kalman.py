@@ -44,6 +44,51 @@ class KalmanInfo:
     K: jax.Array = field()
 
 
+def _check_constructor_sanity(A, alpha) -> None:
+    """Eager constructor diagnostics (kalman.jl:75-86).
+
+    Runs only for concrete (non-traced) values — inside jit the checks
+    are skipped, matching the package's NaN-propagation + ``sol.ok``
+    failure model; use :func:`...utils.diagnostics.diagnose_solution` to
+    localize in-trajectory failures.
+    """
+    import warnings
+
+    import numpy as _np
+
+    if not isinstance(alpha, jax.core.Tracer):
+        try:
+            a = float(jnp.asarray(alpha))
+            if a < 1.0:
+                warnings.warn(
+                    "alpha should be >= 1 for exponential forgetting; "
+                    "alpha < 1 leads to exponential loss of adaptation "
+                    "over time (kalman.jl:76)",
+                    stacklevel=3,
+                )
+        except (TypeError, jax.errors.ConcretizationTypeError):
+            pass
+    if (
+        isinstance(A, (jax.Array, _np.ndarray))
+        and not isinstance(A, jax.core.Tracer)
+        and getattr(A, "ndim", 0) == 2
+        and A.shape[0] == A.shape[1]
+    ):
+        try:
+            ev = _np.max(_np.abs(_np.linalg.eigvals(_np.asarray(A))))
+        except Exception:
+            return
+        if ev >= 2.0:
+            warnings.warn(
+                "The dynamics matrix A has eigenvalues with absolute "
+                f"value >= 2 (max {ev:.3g}). This is either a highly "
+                "unstable system, or you have forgotten to discretize a "
+                "continuous-time model. Disable this check with "
+                "check=False (kalman.jl:77).",
+                stacklevel=3,
+            )
+
+
 def _add_input(x, Bt, u):
     if u is None or Bt is None or (hasattr(u, "shape") and u.shape[-1] == 0):
         return x
@@ -108,9 +153,12 @@ class KalmanFilter(AbstractKalmanFilter):
     nu: int = static_field(default=-1)
     ny: int = static_field(default=-1)
     names: SignalNames = static_field(default=None)
+    check: bool = static_field(default=True)
 
     def __post_init__(self):
         o = object.__setattr__
+        if self.check:
+            _check_constructor_sanity(self.A, self.alpha)
         o(self, "A", as_matspec(self.A))
         o(self, "B", as_matspec(self.B))
         o(self, "C", as_matspec(self.C))

@@ -134,3 +134,52 @@ def kde(x: jax.Array, we: Optional[jax.Array] = None, npoints: int = 200,
         bandwidth * jnp.sqrt(2 * jnp.pi)
     )
     return grid, dens
+
+
+def diagnose_solution(sol, f=None) -> dict:
+    """Eager (un-jitted) failure diagnosis — the `debug=true` analogue.
+
+    The reference raises descriptive mid-trajectory errors naming the
+    step and the offending matrix (filtering.jl:112-121); jit-compiled
+    scans cannot throw, so filters NaN-propagate and set ``sol.ok``.
+    This helper closes the ergonomics gap: given a (materialized)
+    solution it reports *which step and which matrix* went bad.
+
+    Returns a dict with ``ok`` (bool), and when not ok: ``first_bad_step``,
+    ``reason``, the innovation covariance ``S`` at that step with its
+    eigenvalues, and the innovation ``e``.
+    """
+    import numpy as np
+
+    ok = np.asarray(sol.ok) if getattr(sol, "ok", None) is not None else None
+    if ok is None or bool(ok.all()):
+        return {"ok": True}
+    t = int(np.argmax(~ok))
+    out = {"ok": False, "first_bad_step": t}
+    S = np.asarray(sol.S[t]) if getattr(sol, "S", None) is not None else None
+    e = np.asarray(sol.e[t]) if getattr(sol, "e", None) is not None else None
+    xt = np.asarray(sol.xt[t]) if getattr(sol, "xt", None) is not None else None
+    reasons = []
+    if S is not None:
+        out["S"] = S
+        if not np.all(np.isfinite(S)):
+            reasons.append("innovation covariance S is not finite")
+        else:
+            ev = np.linalg.eigvalsh(0.5 * (S + S.T))
+            out["S_eigenvalues"] = ev
+            if ev.min() <= 0:
+                reasons.append(
+                    f"innovation covariance S is not positive definite "
+                    f"(min eigenvalue {ev.min():.3g}) — Cholesky failed at "
+                    f"step {t}"
+                )
+    if e is not None:
+        out["e"] = e
+        if not np.all(np.isfinite(e)):
+            reasons.append("innovation e is not finite")
+    if xt is not None and not np.all(np.isfinite(xt)):
+        reasons.append("filtered state went non-finite")
+    if not reasons:
+        reasons.append("step flagged not-ok (non-finite quantity upstream)")
+    out["reason"] = "; ".join(reasons)
+    return out

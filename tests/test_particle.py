@@ -191,3 +191,47 @@ def test_missing_measurements(sim_data):
     assert np.isfinite(float(sol.ll))
     xh = llpf.mean_trajectory(sol.x, sol.we)
     assert bool(jnp.all(jnp.isfinite(xh)))
+
+
+class TestLoglikNoiseScaleCurves:
+    """PF/APF/KF loglik-vs-noise-scale curves peak at the true parameter
+    (runtests.jl:412-450): the full four-way statistical comparison —
+    PF, APF, KF, and KF-with-known-state-sequence."""
+
+    def test_curves_peak_at_truth(self):
+        d0 = llpf.MvNormal(jnp.zeros(2), 2.0 * jnp.eye(2))
+        s_true = 0.1
+        kf_true = llpf.KalmanFilter(A, B, C, 0, s_true**2 * np.eye(2),
+                                    np.eye(1), d0=d0)
+        du = llpf.MvNormal(jnp.zeros(1), jnp.eye(1))
+        x, u, y = llpf.simulate(kf_true, 600, jax.random.PRNGKey(42), du=du)
+
+        svec = np.logspace(-2, 0, 11)  # index 5 == the true 0.1
+        N = 1000
+        ll_pf, ll_apf, ll_kf, ll_kfx = [], [], [], []
+        for i, s in enumerate(svec):
+            R1s = float(s) ** 2 * np.eye(2)
+            pf = llpf.ParticleFilter(
+                N=N, dynamics=dyn, measurement=meas,
+                dynamics_density=R1s, measurement_density=np.eye(1),
+                initial_density=d0,
+            )
+            ll_pf.append(float(pf.loglik(u, y, key=jax.random.PRNGKey(i))))
+            apf = llpf.AuxiliaryParticleFilter(pf=pf)
+            ll_apf.append(float(apf.loglik(u, y, key=jax.random.PRNGKey(100 + i))))
+            kfs = llpf.KalmanFilter(A, B, C, 0, R1s, np.eye(1), d0=d0)
+            ll_kf.append(float(llpf.loglik(kfs, u, y)))
+            ll_kfx.append(float(llpf.loglik_x(kfs, u, y, x)))
+
+        for name, lls in [("pf", ll_pf), ("apf", ll_apf), ("kf", ll_kf),
+                          ("kfx", ll_kfx)]:
+            mi = int(np.argmax(lls))
+            assert 4 <= mi <= 7, (name, mi, lls)
+        # PF/APF loglik within 20 nats of the exact KF over the whole curve
+        # around the peak (runtests.jl:449-450); the far-misspecified end
+        # of the curve is Monte-Carlo noisy for N=1000.
+        sl = slice(3, 11)
+        assert np.max(np.abs(np.asarray(ll_kf[sl]) - np.asarray(ll_pf[sl]))) < 20
+        assert np.max(np.abs(np.asarray(ll_kf[sl]) - np.asarray(ll_apf[sl]))) < 20
+        # knowing the true state sequence can only help
+        assert max(ll_kfx) > max(ll_kf)
