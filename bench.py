@@ -120,12 +120,16 @@ def bench_ukf(T=50_000):
     run = jax.jit(lambda ys: llpf.loglik(ukf, None, ys))
     dt = _timeit(run, ys)
 
+    # whole-scan pallas kernel (ops/pallas/ukf_scan.py)
+    runf = jax.jit(lambda ys: llpf.ukf_loglik_fused(ukf, ys))
+    dtf = _timeit(runf, ys)
+
     # the TPU-native execution mode: a bank of 1024 independent UKF passes
     Bk, Tb = 1024, 1000
     ysb = jax.random.normal(jax.random.PRNGKey(1), (Bk, Tb, 2), dtype=jnp.float32)
     runb = jax.jit(lambda ysb: jax.vmap(lambda y: llpf.loglik(ukf, None, y))(ysb))
     dtb = _timeit(runb, ysb)
-    return T / dt, dt, Bk * Tb / dtb
+    return T / dt, dt, Bk * Tb / dtb, T / dtf
 
 
 def bench_ffbs(N=1000, M=1000, T=500):
@@ -176,7 +180,7 @@ def main():
     pf_rate, pf_dt, pf_mfu = bench_pf()
     pf_rate_full, pf_dt_full, pf_full_mfu = bench_pf(resample_threshold=1.0)
     kf_rate, kf_dt, kf_mfu = bench_kf_bank()
-    ukf_rate, ukf_dt, ukf_bank_rate = bench_ukf()
+    ukf_rate, ukf_dt, ukf_bank_rate, ukf_fused_rate = bench_ukf()
     ffbs_rate, ffbs_dt, ffbs_mfu = bench_ffbs()
     pkf_speedup, pkf_seq, pkf_par = bench_parallel_kf()
     out = {
@@ -194,6 +198,11 @@ def main():
             "kf_bank1024_walltime_s_T200": round(kf_dt, 4),
             "ukf_steps_per_s_T50k": round(ukf_rate, 1),
             "ukf_vs_julia_baseline": round(ukf_rate / BASELINE_UKF_STEPS_PER_S, 3),
+            "ukf_fused_kernel_steps_per_s_T50k": round(ukf_fused_rate, 1),
+            "ukf_fused_vs_xla_scan": round(ukf_fused_rate / ukf_rate, 2),
+            "ukf_fused_vs_julia_baseline": round(
+                ukf_fused_rate / BASELINE_UKF_STEPS_PER_S, 3
+            ),
             "ffbs_weight_evals_per_s_MN1000_T500": round(ffbs_rate, 1),
             "parallel_kf_speedup_T1e5": round(pkf_speedup, 2),
             "parallel_kf_walltime_s_T1e5": round(pkf_par, 4),

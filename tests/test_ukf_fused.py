@@ -1,0 +1,82 @@
+"""Whole-scan pallas UKF kernel — interpret-mode equivalence vs the XLA scan.
+
+The kernel (ops/pallas/ukf_scan.py) runs the full correct-then-predict
+recursion of /root/reference/src/ukf.jl:468-671 inside one Mosaic kernel;
+on CPU these tests exercise it in interpret mode (force_kernel=True);
+hardware perf is covered by bench.py (`ukf_fused_*` fields).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lowlevelparticlefilters_jl_tpu as llpf
+from lowlevelparticlefilters_jl_tpu.ops.pallas.ukf_scan import ukf_loglik_fused
+
+DT = 0.1
+A = jnp.array([[1, 0, DT, 0], [0, 1, 0, DT], [0, 0, 1, 0], [0, 0, 0, 1]],
+              jnp.float32)
+B = jnp.array([[0, 0], [0, 0], [DT, 0], [0, DT]], jnp.float32)
+C = jnp.array([[1, 0, 0, 0], [0, 1, 0, 0]], jnp.float32)
+R1 = 0.1 * jnp.eye(4, dtype=jnp.float32)
+R2 = 1.0 * jnp.eye(2, dtype=jnp.float32)
+
+
+class TestFusedUKFKernel:
+    def test_matches_xla_scan_no_input(self):
+        ukf = llpf.make_ukf(lambda x, u, p, t: A @ x,
+                            lambda x, u, p, t: C @ x, R1, R2, ny=2, nu=0)
+        ys = jax.random.normal(jax.random.PRNGKey(0), (300, 2), jnp.float32)
+        ll_xla = float(llpf.loglik(ukf, None, ys))
+        ll_ker = float(ukf_loglik_fused(ukf, ys, force_kernel=True))
+        assert abs(ll_ker - ll_xla) / abs(ll_xla) < 1e-5
+
+    def test_matches_xla_scan_with_inputs_and_Ts(self):
+        ukf = llpf.make_ukf(lambda x, u, p, t: A @ x + B @ u,
+                            lambda x, u, p, t: C @ x, R1, R2, ny=2, nu=2,
+                            Ts=0.5)
+        T = 200
+        ys = jax.random.normal(jax.random.PRNGKey(1), (T, 2), jnp.float32)
+        us = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (T, 2), jnp.float32)
+        ll_xla = float(llpf.loglik(ukf, us, ys))
+        ll_ker = float(ukf_loglik_fused(ukf, ys, us, force_kernel=True))
+        assert abs(ll_ker - ll_xla) / abs(ll_xla) < 1e-5
+
+    def test_non_multiple_of_128_T(self):
+        """Padding steps must be frozen out of the ll."""
+        ukf = llpf.make_ukf(lambda x, u, p, t: A @ x,
+                            lambda x, u, p, t: C @ x, R1, R2, ny=2, nu=0)
+        ys = jax.random.normal(jax.random.PRNGKey(3), (173, 2), jnp.float32)
+        ll_xla = float(llpf.loglik(ukf, None, ys))
+        ll_ker = float(ukf_loglik_fused(ukf, ys, force_kernel=True))
+        assert abs(ll_ker - ll_xla) / abs(ll_xla) < 1e-5
+
+    def test_nonlinear_dynamics(self):
+        def dyn(x, u, p, t):
+            return A @ x + 0.01 * jnp.sin(x)
+
+        ukf = llpf.make_ukf(dyn, lambda x, u, p, t: C @ x, R1, R2, ny=2, nu=0)
+        ys = jax.random.normal(jax.random.PRNGKey(4), (150, 2), jnp.float32)
+        ll_xla = float(llpf.loglik(ukf, None, ys))
+        ll_ker = float(ukf_loglik_fused(ukf, ys, force_kernel=True))
+        assert abs(ll_ker - ll_xla) / abs(ll_xla) < 1e-5
+
+    def test_merwe_weights(self):
+        ukf = llpf.make_ukf(lambda x, u, p, t: A @ x,
+                            lambda x, u, p, t: C @ x, R1, R2, ny=2, nu=0,
+                            weight_params=llpf.MerweParams(alpha=0.5, beta=2.0))
+        ys = jax.random.normal(jax.random.PRNGKey(5), (150, 2), jnp.float32)
+        ll_xla = float(llpf.loglik(ukf, None, ys))
+        ll_ker = float(ukf_loglik_fused(ukf, ys, force_kernel=True))
+        assert abs(ll_ker - ll_xla) / abs(ll_xla) < 1e-4
+
+    def test_out_of_scope_falls_back(self):
+        """Augmented dynamics are outside the kernel scope — the call must
+        transparently take the XLA path (identical value, no error)."""
+        ukf = llpf.make_ukf(lambda x, u, p, t, w: A @ x + w,
+                            lambda x, u, p, t: C @ x, R1, R2, ny=2, nu=0,
+                            augmented_dynamics=True)
+        ys = jax.random.normal(jax.random.PRNGKey(6), (100, 2), jnp.float32)
+        ll_xla = float(llpf.loglik(ukf, None, ys))
+        ll_ker = float(ukf.loglik_fused(ys))
+        assert abs(ll_ker - ll_xla) < 1e-6
