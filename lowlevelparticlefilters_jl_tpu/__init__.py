@@ -7,8 +7,12 @@ A ground-up re-design of the capabilities of LowLevelParticleFilters.jl
   are pure functions (jit/grad/vmap-compatible end to end),
 - the sequential trajectory loop is `lax.scan`; particle/sigma-point/
   ensemble axes are `vmap`-ed and mesh-shardable (`parallel/`),
-- resampling and weight normalization ride prefix-sum + binary-search on
-  the VPU, with Pallas kernels for the large-N regime,
+- systematic-resampling indices are one MXU one-hot matmul (TPU
+  scatters/searchsorted serialize or blow up at N>=1e5; ops/resample.py),
+  weight normalization is a fused max/exp/sum pass,
+- Pallas kernels where XLA's granularity loses: hardware-PRNG particle
+  noise (ops/pallas/noise.py) and the whole-scan sequential UKF
+  (ops/pallas/ukf_scan.py, 5x the XLA scan),
 - gradients of the data log-likelihood flow through the whole filter
   (reverse-mode, replacing the reference's ForwardDiff).
 

@@ -30,17 +30,17 @@ rounding, so a few slots per 1e4 may resolve to the neighboring particle
 versus the XLA reference - statistically immaterial (both are valid
 systematic resamples of an eps-perturbed CDF).
 
-STATUS (2026-08-16, v5e): compiles and runs on hardware.  The CDF
-matmuls MUST use ``precision=HIGHEST`` — the v5e MXU computes f32
-matmuls in bf16 passes by default, which perturbs the CDF enough to
-shift ~70% of slots; with HIGHEST the hardware output matches the XLA
-oracle to fp-tie level (~0.9% of slots resolve to the adjacent particle,
-statistically unbiased).  Wall-clock is ~2.0 ms per resample at N=1e5 vs
-~1.2 ms for the XLA counting-sort path — the [8,128,128] broadcast
-compares in the count/gather loops are VPU-bound.  Therefore NOT wired
-into any filter: `pallas_resample_gather` takes the XLA path unless
-``force_kernel=True``.  Kept as validated groundwork (Mosaic-compatible
-prefix sums, blocked monotone merge) for a future fused PF-step kernel.
+STATUS (2026-08-16, v5e, round 2): compiles and runs on hardware but is
+SUPERSEDED by the pure-XLA matmul-index formulation in `ops/resample.py`
+(`_systematic_j_matmul`, ~355 us + one ~200 us row take at N=1e5 vs this
+kernel's ~2.0 ms — its [8,128,128] broadcast compares are VPU-bound).
+Round-2 honest measurements (T-slope; the round-1 numbers cited below
+were polluted by the ~27 ms relay RPC): XLA scatter-histogram path
+~880 us, searchsorted 2.2+ ms.  NOT wired into any filter:
+`pallas_resample_gather` takes the XLA path unless ``force_kernel=True``.
+Kept as validated Mosaic groundwork; the lessons (precision=HIGHEST on
+exactness-sensitive matmuls, no dynamic lane indexing, rank-2-only loop
+carries) are baked into the production `ops/pallas/ukf_scan.py` kernel.
 """
 from __future__ import annotations
 
