@@ -137,7 +137,7 @@ from .smoothing import (
     smoothed_trajs,
 )
 
-from .ops.pallas.ukf_scan import ukf_loglik_fused
+from .ops.pallas.ukf_scan import ukf_loglik_fused, ekf_loglik_fused
 from .parallel.temporal import (
     parallel_forward_trajectory,
     parallel_rts_smooth,

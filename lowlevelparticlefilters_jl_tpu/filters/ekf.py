@@ -132,6 +132,16 @@ class ExtendedKalmanFilter(AbstractKalmanFilter):
         RT = jnp.concatenate([RT_rest, Rt[-1:]], axis=0)
         return KalmanSmoothingSolution(sol=sol, xT=xT, RT=RT)
 
+    def loglik_fused(self, ys, us=None):
+        """Whole-trajectory log-likelihood as ONE pallas kernel
+        (ops/pallas/ukf_scan.py::ekf_loglik_fused): ~2.3 us/step vs ~10 us
+        for the XLA scan at nx=4 on v5e.  Falls back to the XLA scan
+        off-TPU or outside the kernel's scope (R12, callable noise,
+        non-EKF measurement models)."""
+        from ..ops.pallas.ukf_scan import ekf_loglik_fused
+
+        return ekf_loglik_fused(self, ys, us)
+
     # -- simulation hooks (ekf.jl:227-272) -------------------------------
     def sample_initial(self, key, p=None, noise=True):
         return self.d0.sample(key) if noise else self.d0.mean

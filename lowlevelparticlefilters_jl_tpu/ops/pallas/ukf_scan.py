@@ -291,3 +291,192 @@ def ukf_loglik_fused(ukf, ys, us: Optional[jax.Array] = None,
             interpret=pltpu.InterpretParams() if not _on_tpu() else False,
         )(ysb, usb, x0, P0, R1, R2, *consts)
     return ll[0, 0]
+
+
+def _ekf_supported(ekf, mm) -> bool:
+    from ...models.measurement_models import EKFMeasurementModel
+
+    return (
+        type(mm) is EKFMeasurementModel
+        and mm.R12 is None
+        and isinstance(getattr(ekf, "R1"), jax.Array)
+        and isinstance(mm.R2, jax.Array)
+        and not callable(getattr(ekf, "alpha", 1.0))
+    )
+
+
+def ekf_loglik_fused(ekf, ys, us: Optional[jax.Array] = None,
+                     force_kernel: bool = False):
+    """EKF counterpart of :func:`ukf_loglik_fused` — the whole linearized
+    recursion (ekf.jl:136-190) in one Mosaic kernel, with `jax.jacfwd`
+    of the traced user callbacks evaluated in-kernel.
+
+    Scope: plain `EKFMeasurementModel` without R12, constant R1/R2,
+    scalar alpha; falls back to the XLA scan otherwise or off-TPU.
+    """
+    from ...trajectory import loglik as xla_loglik
+
+    mm = ekf.measurement_model
+    if not _ekf_supported(ekf, mm) or (not _on_tpu() and not force_kernel):
+        return xla_loglik(ekf, us, ys)
+
+    ys = jnp.asarray(ys, jnp.float32)
+    T, ny = ys.shape
+    nx = ekf.nx
+    Ts = float(ekf.Ts)
+    p = ekf.p
+    f = ekf.dynamics
+    g = mm.measurement
+    alpha = float(ekf.alpha)
+    Ajac_user = ekf.Ajac
+    Cjac_user = mm.Cjac
+    R1 = jnp.asarray(ekf.R1, jnp.float32)
+    R2 = jnp.asarray(mm.R2, jnp.float32)
+    x0 = jnp.asarray(ekf.d0.mean, jnp.float32).reshape(1, nx)
+    P0 = jnp.asarray(ekf.d0.cov, jnp.float32)
+
+    LB = 128
+    TB = -(-T // LB)
+    Tpad = TB * LB
+
+    def _blocked(a, n):
+        ap = jnp.pad(a, ((0, Tpad - T), (0, 0)))
+        return ap.T.reshape(n, TB, LB).transpose(1, 0, 2)
+
+    ysb = _blocked(ys, ny)
+    if us is None:
+        usb = jnp.zeros((TB, 1, LB), jnp.float32)
+        nu = 0
+    else:
+        us = jnp.asarray(us, jnp.float32)
+        nu = us.shape[1]
+        usb = _blocked(us, nu) if nu > 0 else jnp.zeros((TB, 1, LB), jnp.float32)
+
+    x_ex = jnp.zeros((nx,), jnp.float32)
+    t_ex = jnp.float32(0.0)
+
+    def _flatten(fn):
+        if nu > 0:
+            u_ex = jnp.zeros((nu,), jnp.float32)
+            args_ex = (x_ex, u_ex, t_ex)
+            wrap = lambda x, u, tk: fn(x, u, p, tk)
+        else:
+            args_ex = (x_ex, t_ex)
+            wrap = lambda x, tk: fn(x, jnp.zeros((0,), jnp.float32), p, tk)
+        cc, tracer_consts = jax.closure_convert(wrap, *args_ex)
+        closed = jax.make_jaxpr(cc)(*args_ex, *tracer_consts)
+        lits = [jnp.asarray(c) for c in closed.consts]
+        consts = [*lits, *tracer_consts]
+        n_lit = len(lits)
+
+        def flat(x, u, tk, *cs):
+            args = (x, u, tk) if nu > 0 else (x, tk)
+            (out,) = jax.core.eval_jaxpr(
+                closed.jaxpr, cs[:n_lit], *args, *cs[n_lit:]
+            )
+            return out
+
+        return flat, consts
+
+    f_flat, f_consts = _flatten(f)
+    g_flat, g_consts = _flatten(g)
+    # user-supplied Jacobians (or jacfwd of the flattened callbacks)
+    fj = _flatten(Ajac_user)if Ajac_user is not None else None
+    gj = _flatten(Cjac_user) if Cjac_user is not None else None
+    fj_flat, fj_consts = fj if fj else (None, [])
+    gj_flat, gj_consts = gj if gj else (None, [])
+    counts = [len(f_consts), len(g_consts), len(fj_consts), len(gj_consts)]
+
+    def kernel(ysb_ref, usb_ref, x0_ref, P0_ref, R1_ref, R2_ref, *rest):
+        ncs = sum(counts)
+        const_refs = rest[:ncs]
+        ll_ref, xout_ref, Rout_ref = rest[ncs:]
+        o = 0
+        groups = []
+        for c in counts:
+            groups.append([r[:] for r in const_refs[o:o + c]])
+            o += c
+        fcs, gcs, fjcs, gjcs = groups
+        R1k = R1_ref[:, :]
+        R2k = R2_ref[:, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LB), 1)
+
+        def step_in_block(yblk, ublk, t, carry):
+            x2, R, ll2 = carry
+            s = t % LB
+            tk = t.astype(jnp.float32) * Ts
+            maskf = (lane == s).astype(jnp.float32)
+            y2 = (yblk @ maskf.T).T
+            u = (ublk @ maskf.T)[:, 0] if nu > 0 else None
+
+            # ---- correct (ekf.jl:159-190) ----------------------------
+            gx = jax.vmap(lambda xx: g_flat(xx, u, tk, *gcs))(x2)  # [1, ny]
+            if gj_flat is not None:
+                Cj = gj_flat(x2[0], u, tk, *gjcs)
+            else:
+                Cj = jax.jacfwd(lambda xx: g_flat(xx, u, tk, *gcs))(x2[0])
+            S = symmetrize(Cj @ R @ Cj.T) + R2k
+            Schol = chol_lower(S)
+            e2 = y2 - gx
+            Z = _tri_solve_scalar(Schol, Cj @ R, lower=True)       # [ny, nx]
+            Kt = _tri_solve_scalar(Schol.T, Z, lower=False)        # [ny, nx]
+            x2 = x2 + e2 @ Kt
+            R = symmetrize(R - Kt.T @ (Cj @ R))
+            w2 = _tri_solve_scalar(Schol, e2.T, lower=True)
+            llk = -0.5 * (
+                jnp.sum(w2 * w2)
+                + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Schol)))
+                + ny * _LOG2PI
+            )
+
+            # ---- predict (ekf.jl:136-152) ----------------------------
+            if fj_flat is not None:
+                Aj = fj_flat(x2[0], u, tk, *fjcs)
+            else:
+                Aj = jax.jacfwd(lambda xx: f_flat(xx, u, tk, *fcs))(x2[0])
+            xn2 = jax.vmap(lambda xx: f_flat(xx, u, tk, *fcs))(x2)
+            Rn = alpha * symmetrize(Aj @ R @ Aj.T) + R1k
+            valid = t < T
+            pick = lambda a, b: jnp.where(valid, a, b)
+            return (
+                pick(xn2, x2),
+                pick(Rn, R),
+                ll2 + jnp.where(valid, llk, 0.0),
+            )
+
+        def block(b, carry):
+            yblk = ysb_ref[b]
+            ublk = usb_ref[b]
+
+            def inner(s, c):
+                return step_in_block(yblk, ublk, b * LB + s, c)
+
+            return jax.lax.fori_loop(0, LB, inner, carry)
+
+        xf2, Rf, ll2 = jax.lax.fori_loop(
+            0, TB, block,
+            (x0_ref[:, :], P0_ref[:, :], jnp.zeros((1, 1), jnp.float32)),
+        )
+        ll_ref[0, 0] = ll2[0, 0]
+        xout_ref[0, :] = xf2[0, :]
+        Rout_ref[:, :] = Rf
+
+    consts = [jnp.asarray(c) for c in
+              [*f_consts, *g_consts, *fj_consts, *gj_consts]]
+    with jax.default_matmul_precision("highest"):
+        ll, xf, Rf = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, nx), jnp.float32),
+                jax.ShapeDtypeStruct((nx, nx), jnp.float32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 + len(consts)),
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            interpret=pltpu.InterpretParams() if not _on_tpu() else False,
+        )(ysb, usb, x0, P0, R1, R2, *consts)
+    return ll[0, 0]

@@ -80,3 +80,52 @@ class TestFusedUKFKernel:
         ll_xla = float(llpf.loglik(ukf, None, ys))
         ll_ker = float(ukf.loglik_fused(ys))
         assert abs(ll_ker - ll_xla) < 1e-6
+
+
+class TestFusedEKFKernel:
+    """EKF counterpart (ekf_loglik_fused) — interpret-mode equivalence."""
+
+    def test_matches_xla_nonlinear(self):
+        def dyn(x, u, p, t):
+            return A @ x + 0.01 * jnp.sin(x)
+
+        ekf = llpf.make_ekf(dyn, lambda x, u, p, t: C @ x, R1, R2,
+                            d0=llpf.MvNormal(jnp.zeros(4), 0.5 * jnp.eye(4)),
+                            nu=0, ny=2)
+        ys = jax.random.normal(jax.random.PRNGKey(7), (250, 2), jnp.float32)
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.ukf_scan import ekf_loglik_fused
+        ll_xla = float(llpf.loglik(ekf, None, ys))
+        ll_ker = float(ekf_loglik_fused(ekf, ys, force_kernel=True))
+        assert abs(ll_ker - ll_xla) / abs(ll_xla) < 1e-5
+
+    def test_matches_xla_with_inputs_custom_jac(self):
+        ekf = llpf.make_ekf(
+            lambda x, u, p, t: A @ x + B @ u,
+            lambda x, u, p, t: C @ x, R1, R2,
+            d0=llpf.MvNormal(jnp.zeros(4), 0.5 * jnp.eye(4)),
+            nu=2, ny=2, Ajac=lambda x, u, p, t: A,
+            Cjac=lambda x, u, p, t: C,
+        )
+        T = 173
+        ys = jax.random.normal(jax.random.PRNGKey(8), (T, 2), jnp.float32)
+        us = 0.3 * jax.random.normal(jax.random.PRNGKey(9), (T, 2), jnp.float32)
+        ll_xla = float(llpf.loglik(ekf, us, ys))
+        ll_ker = float(ekf.loglik_fused(ys, us))
+        # off-TPU the method transparently falls back to XLA (exact);
+        # force the kernel for the real check
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.ukf_scan import ekf_loglik_fused
+        ll_ker2 = float(ekf_loglik_fused(ekf, ys, us, force_kernel=True))
+        assert abs(ll_ker - ll_xla) < 1e-6
+        assert abs(ll_ker2 - ll_xla) / abs(ll_xla) < 1e-5
+
+    def test_out_of_scope_r12_falls_back(self):
+        ekf = llpf.make_ekf(
+            lambda x, u, p, t: A @ x,
+            lambda x, u, p, t: C @ x, R1, R2,
+            d0=llpf.MvNormal(jnp.zeros(4), 0.5 * jnp.eye(4)),
+            nu=0, ny=2, R12=0.01 * jnp.ones((4, 2)),
+        )
+        ys = jax.random.normal(jax.random.PRNGKey(10), (100, 2), jnp.float32)
+        ll_xla = float(llpf.loglik(ekf, None, ys))
+        ll_ker = float(ekf.loglik_fused(ys))
+        assert abs(ll_ker - ll_xla) < 1e-6
