@@ -46,3 +46,17 @@ def test_beetle_example():
     m = llpf.mean_trajectory(sol.x, sol.we)
     pos_rmse = float(jnp.sqrt(jnp.mean((m[:, :2] - xs[:, :2]) ** 2)))
     assert pos_rmse < 0.3
+
+
+def test_nonlinear_kf_example():
+    """examples/example_nonlinear_kf.py (example_nonlinear_kf.jl analogue):
+    UKF/EKF/IEKF on the bearings-only problem; the iterated EKF should not
+    be worse than the plain EKF on this strongly nonlinear measurement."""
+    ex = _load("example_nonlinear_kf")
+
+    ukf_rms, ekf_rms, iekf_rms = ex.bearings_only(N=8, Tmax=40)
+    for r in (ukf_rms, ekf_rms, iekf_rms):
+        assert np.all(np.isfinite(r))
+    # errors should contract as the filters converge on the static target
+    assert ukf_rms[-5:].mean() < ukf_rms[:5].mean()
+    assert iekf_rms.mean() <= ekf_rms.mean() * 1.1
