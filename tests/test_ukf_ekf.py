@@ -386,3 +386,41 @@ def test_kf_r12_matches_ekf_r12(rng):
     s2 = llpf.forward_trajectory(ekf, u, y)
     np.testing.assert_allclose(np.asarray(s2.xt), np.asarray(s1.xt), atol=1e-8)
     np.testing.assert_allclose(float(s2.ll), float(s1.ll), rtol=1e-10)
+
+
+def test_pluggable_cholesky_fn(data):
+    """cholesky_fn (ukf.jl:369-381, the PositiveFactorizations analogue):
+    a jittered factorization matches the default on well-conditioned
+    systems and keeps an ill-conditioned UKF finite where the default
+    NaN-propagates."""
+    _, x, u, y = data
+
+    def chol_jitter(S):
+        n = S.shape[-1]
+        return jnp.linalg.cholesky(S + 1e-10 * jnp.eye(n, dtype=S.dtype))
+
+    ukf = llpf.make_ukf(lin_dyn, lin_meas, R1, R2, d0=d0(), nu=1, ny=1)
+    ukf_j = llpf.make_ukf(lin_dyn, lin_meas, R1, R2, d0=d0(), nu=1, ny=1,
+                          cholesky_fn=chol_jitter)
+    s1 = llpf.forward_trajectory(ukf, u, y)
+    s2 = llpf.forward_trajectory(ukf_j, u, y)
+    # the jitter perturbs every factorization; the filters agree to the
+    # accumulated-perturbation level, not bitwise
+    np.testing.assert_allclose(np.asarray(s2.xt), np.asarray(s1.xt),
+                               rtol=1e-3, atol=1e-4)
+
+    # a singular prior covariance: the default chol NaNs out (ok=False),
+    # the jittered one survives
+    d0_sing = llpf.MvNormal(jnp.zeros(2), jnp.zeros((2, 2)))
+    ukf_bad = llpf.make_ukf(lin_dyn, lin_meas, 0.0 * R1, R2, d0=d0_sing,
+                            nu=1, ny=1)
+    def chol_jitter_big(S):
+        n = S.shape[-1]
+        return jnp.linalg.cholesky(S + 1e-6 * jnp.eye(n, dtype=S.dtype))
+
+    ukf_fix = llpf.make_ukf(lin_dyn, lin_meas, 0.0 * R1, R2, d0=d0_sing,
+                            nu=1, ny=1, cholesky_fn=chol_jitter_big)
+    sb = llpf.forward_trajectory(ukf_bad, u[:20], y[:20])
+    sf = llpf.forward_trajectory(ukf_fix, u[:20], y[:20])
+    assert not bool(jnp.all(sb.ok))
+    assert bool(jnp.all(sf.ok))
