@@ -224,6 +224,45 @@ class KalmanFilter(AbstractKalmanFilter):
         x, R, info = kf_correct(state.x, state.R, Ct, Dt, u, y, R2, R12)
         return KFState(x=x, R=R, t=state.t), info
 
+    def loglik_fused(self, ys, us=None):
+        """Whole-trajectory log-likelihood as ONE pallas kernel by
+        delegating to the EKF kernel with the (constant) system matrices
+        as traced callbacks (ops/pallas/ukf_scan.py::ekf_loglik_fused).
+        Falls back to the XLA scan for time-varying/callable matrices,
+        R12, traced alpha, or off-TPU."""
+        from ..ops.pallas.ukf_scan import ekf_loglik_fused
+        from ..trajectory import loglik as xla_loglik
+        from .ekf import make_ekf
+
+        const = all(
+            M is None or isinstance(M, jax.Array) and M.ndim <= 2
+            for M in (self.A, self.B, self.C, self.D, self.R1, self.R2)
+        )
+        if not const or self.R12 is not None or not isinstance(
+            self.alpha, (int, float)
+        ):
+            return xla_loglik(self, us, ys)
+        A, B, C, D = self.A, self.B, self.C, self.D
+
+        def dyn(x, u, p, t):
+            xn = A @ x
+            if B is not None and u is not None and u.shape[-1]:
+                xn = xn + B @ u
+            return xn
+
+        def meas(x, u, p, t):
+            y = C @ x
+            if D is not None and u is not None and u.shape[-1]:
+                y = y + D @ u
+            return y
+
+        ekf = make_ekf(
+            dyn, meas, self.R1, self.R2, d0=self.d0, nu=max(self.nu, 0),
+            ny=self.ny, Ts=self.Ts, alpha=self.alpha,
+            Ajac=lambda x, u, p, t: A, Cjac=lambda x, u, p, t: C,
+        )
+        return ekf_loglik_fused(ekf, ys, us)
+
     # ------------------------------------------------------------------
     def measurement_fn(self) -> Callable:
         """Out-of-place measurement function (kalman.jl:113-121)."""

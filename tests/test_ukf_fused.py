@@ -129,3 +129,38 @@ class TestFusedEKFKernel:
         ll_xla = float(llpf.loglik(ekf, None, ys))
         ll_ker = float(ekf.loglik_fused(ys))
         assert abs(ll_ker - ll_xla) < 1e-6
+
+
+class TestFusedKFDelegation:
+    def test_kf_loglik_fused_matches_xla(self):
+        A4 = jnp.array([[0.97, -0.097], [0.097, 0.97]], jnp.float32)
+        B4 = jnp.array([[0.1], [0.0]], jnp.float32)
+        C4 = jnp.eye(2, dtype=jnp.float32)
+        kf = llpf.KalmanFilter(A4, B4, C4, 0, 0.01 * jnp.eye(2, dtype=jnp.float32),
+                               0.1 * jnp.eye(2, dtype=jnp.float32))
+        T = 173
+        us = 0.3 * jax.random.normal(jax.random.PRNGKey(11), (T, 1), jnp.float32)
+        _, _, ys = llpf.simulate(kf, us, jax.random.PRNGKey(12))
+        ll_xla = float(llpf.loglik(kf, us, ys))
+        # off-TPU path: falls back transparently (exact)
+        assert abs(float(kf.loglik_fused(ys, us)) - ll_xla) < 1e-6
+        # kernel path (interpret): route through the delegated EKF
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.ukf_scan import ekf_loglik_fused
+        from lowlevelparticlefilters_jl_tpu.filters.ekf import make_ekf
+        ekf = make_ekf(lambda x, u, p, t: A4 @ x + B4 @ u,
+                       lambda x, u, p, t: C4 @ x,
+                       kf.R1, kf.R2, d0=kf.d0, nu=1, ny=2)
+        ll_ker = float(ekf_loglik_fused(ekf, ys, us, force_kernel=True))
+        assert abs(ll_ker - ll_xla) / abs(ll_xla) < 1e-5
+
+    def test_time_varying_falls_back(self):
+        A3 = jnp.stack([0.9 * jnp.eye(2) for _ in range(20)])
+        kf = llpf.KalmanFilter(A3, jnp.zeros((2, 1)), jnp.eye(2), 0,
+                               0.01 * jnp.eye(2), 0.1 * jnp.eye(2),
+                               d0=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)),
+                               nx=2, ny=2)
+        ys = jnp.asarray(np.random.default_rng(0).normal(size=(20, 2)),
+                         jnp.float32)
+        us = jnp.zeros((20, 1), jnp.float32)
+        assert abs(float(kf.loglik_fused(ys, us)) -
+                   float(llpf.loglik(kf, us, ys))) < 1e-6
