@@ -107,10 +107,10 @@ def resample_systematic(we: jax.Array, key: jax.Array, M: int | None = None) -> 
 def resample_systematic_gather(x: jax.Array, we: jax.Array, key: jax.Array) -> jax.Array:
     """Fused systematic resample + particle gather: ``x[resample(we)]``.
 
-    Windowed dense-count indices (see :func:`_systematic_j_windowed`)
-    followed by ONE row gather.  Honest v5e costs at N=1e5 (T-slope
-    method, excluding the ~27 ms per-dispatch RPC): index ~60 µs + gather
-    ~200 µs, vs ~1.4 ms for the round-1 scatter+prefix-sum reconstruction
+    Matmul-formulated indices (:func:`_systematic_j_matmul`) followed by
+    ONE row gather.  Honest v5e costs at N=1e5 (T-slope method, excluding
+    the ~27 ms per-dispatch RPC): index ~355 µs + gather ~200 µs, vs
+    ~1.4 ms for the round-1 scatter+prefix-sum reconstruction
     (pathological 2-D float scatter) which also carried an O(sqrt(N)·eps)
     error.  This path is exact: bitwise equal to
     ``x[resample_systematic(we)]``.
