@@ -48,6 +48,17 @@ def test_beetle_example():
     assert pos_rmse < 0.3
 
 
+def test_nn_dynamics_example():
+    """examples/example_nn_dynamics.py (neural_network.md analogue): the
+    EKF-trained network must predict better at the end of the data than
+    early on, and the weight covariance must contract."""
+    mod = _load("example_nn_dynamics")
+    rmse_early, rmse_final, rmse_refined = mod.main()
+    assert np.isfinite(rmse_final)
+    assert rmse_final < rmse_early
+    assert rmse_refined <= rmse_final * 1.05  # refinement never hurts much
+
+
 def test_nonlinear_kf_example():
     """examples/example_nonlinear_kf.py (example_nonlinear_kf.jl analogue):
     UKF/EKF/IEKF on the bearings-only problem; the iterated EKF should not
