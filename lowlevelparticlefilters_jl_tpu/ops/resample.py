@@ -104,17 +104,32 @@ def resample_systematic(we: jax.Array, key: jax.Array, M: int | None = None) -> 
     return _systematic_j_exact(we, key, M)
 
 
+_KERNEL_MIN_N = 1 << 15  # below this the XLA path wins (kernel pads to 8192)
+
+
 def resample_systematic_gather(x: jax.Array, we: jax.Array, key: jax.Array) -> jax.Array:
     """Fused systematic resample + particle gather: ``x[resample(we)]``.
 
-    Matmul-formulated indices (:func:`_systematic_j_matmul`) followed by
-    ONE row gather.  Honest v5e costs at N=1e5 (T-slope method, excluding
-    the ~27 ms per-dispatch RPC): index ~355 µs + gather ~200 µs, vs
-    ~1.4 ms for the round-1 scatter+prefix-sum reconstruction
-    (pathological 2-D float scatter) which also carried an O(sqrt(N)·eps)
-    error.  This path is exact: bitwise equal to
-    ``x[resample_systematic(we)]``.
+    On TPU at N >= 32768 this runs as ONE pallas kernel
+    (ops/pallas/resample_v2.py): windowed MXU one-hot contractions
+    compute both the index counts and the gathered particles in VMEM —
+    ~224 µs at N=1e5 on v5e (T-slope) vs ~610 µs for the XLA
+    formulation (index matmul ~260-360 µs + row gather ~240-330 µs,
+    which serializes).  Everywhere else: matmul-formulated indices
+    (:func:`_systematic_j_matmul`) + one row take.  BOTH paths are
+    exact and bitwise IDENTICAL to ``x[resample_systematic(we)]`` —
+    same K slot boundaries, and the kernel's 0/1-mask contractions
+    select (never approximate) particle values.
     """
+    N = we.shape[-1]
+    if x.ndim == 2 and N >= _KERNEL_MIN_N and x.shape[1] <= 16:
+        from .pallas.noise import _on_tpu
+
+        if _on_tpu():
+            from .pallas.resample_v2 import fused_systematic_gather
+
+            out, _ = fused_systematic_gather(x, we, key)
+            return out.astype(x.dtype)
     j = resample_systematic(we, key)
     return jnp.take(x, j, axis=0)
 
