@@ -77,11 +77,17 @@ class InteractingMultipleModels(AbstractFilter):
             raise ValueError("P must be (n_modes, n_modes)")
         if self.mu0.shape != (n,):
             raise ValueError("mu0 must have one entry per model")
-        # row-stochastic / probability-vector checks (imm.jl:54-58)
-        if not bool(jnp.allclose(jnp.sum(self.mu0), 1.0, atol=1e-6)):
-            raise ValueError("mu0 must sum to 1")
-        if not bool(jnp.allclose(jnp.sum(self.P, axis=1), 1.0, atol=1e-6)):
-            raise ValueError("P rows must sum to 1")
+        # row-stochastic / probability-vector checks (imm.jl:54-58).
+        # Skipped under tracing: constructing an IMM inside jit (e.g. a
+        # jitted parameter-tuning loss rebuilding the filter per call)
+        # lifts even constant arrays to tracers.
+        if not isinstance(
+            jnp.sum(self.mu0) + jnp.sum(self.P), jax.core.Tracer
+        ):
+            if not bool(jnp.allclose(jnp.sum(self.mu0), 1.0, atol=1e-6)):
+                raise ValueError("mu0 must sum to 1")
+            if not bool(jnp.allclose(jnp.sum(self.P, axis=1), 1.0, atol=1e-6)):
+                raise ValueError("P rows must sum to 1")
         if self.names is None:
             o(self, "names", getattr(self.models[0], "names", None))
 
@@ -125,8 +131,15 @@ class InteractingMultipleModels(AbstractFilter):
         xs = jnp.stack([m.state(s) for m, s in zip(self.models, state.states)])
         Rs = jnp.stack([m.covariance(s) for m, s in zip(self.models, state.states)])
         cj = P.T @ mu  # [n]
-        safe_cj = jnp.where(cj > 0, cj, 1.0)
-        muij = P * mu[:, None] / safe_cj[None, :]  # [i, j]
+        # Near-dead counts as dead (not just cj == 0): with a sticky P a
+        # dying mode's cj decays exponentially, and the quotient-rule
+        # gradient of mu/cj overflows (inf·0 → NaN) long before cj
+        # underflows — the where() below only cuts the gradient path when
+        # the 1.0 branch is selected.  Mixing weights below 1e-6 are
+        # numerically irrelevant to the mixed moments anyway.
+        alive_j = cj > 1e-6
+        safe_cj = jnp.where(alive_j, cj, 1.0)
+        muij = jnp.where(alive_j[None, :], P * mu[:, None] / safe_cj[None, :], 0.0)
         new_x = jnp.einsum("ij,id->jd", muij, xs)
         d = xs[:, None, :] - new_x[None, :, :]  # [i, j, d]
         dd = jnp.einsum("ija,ijb->ijab", d, d)
@@ -135,7 +148,7 @@ class InteractingMultipleModels(AbstractFilter):
             + jnp.einsum("ij,iab->jab", muij, Rs)
         )
         # dead modes evolve untouched (imm.jl:91-94)
-        alive = (cj > 0)[:, None]
+        alive = alive_j[:, None]
         new_x = jnp.where(alive, new_x, xs)
         new_R = jnp.where(alive[..., None], new_R, Rs)
         states = tuple(

@@ -55,7 +55,9 @@ def as_matspec(M, base_ndim: int = 2):
     Idempotent (safe to re-run on unflatten): arrays stay arrays, callables
     are wrapped in :class:`FnMat`, ``None`` passes through.
     """
-    if M is None or isinstance(M, (FnMat, TimeVarying, jax.Array)):
+    if M is None or isinstance(
+        M, (FnMat, TimeVarying, jax.Array, IndexingMatrix, TransposedIndexingMatrix)
+    ):
         return M
     if callable(M):
         return FnMat(fn=M)
@@ -76,6 +78,8 @@ def resolve_mat(M: MatLike, x, u, p, t, *, base_ndim: int = 2, Ts: float = 1.0):
     """
     if M is None:
         return None
+    if isinstance(M, (IndexingMatrix, TransposedIndexingMatrix)):
+        return M
     if callable(M) and not isinstance(M, (jax.Array, TimeVarying)):
         return M(x, u, p, t)
     if isinstance(M, TimeVarying):
@@ -108,6 +112,8 @@ def _index_time(data: jax.Array, t, Ts: float = 1.0):
 def is_constant_mat(M: MatLike, base_ndim: int = 2) -> bool:
     """True when M resolves to the same array for all (x, u, p, t)."""
     if M is None:
+        return True
+    if isinstance(M, (IndexingMatrix, TransposedIndexingMatrix)):
         return True
     if callable(M) and not isinstance(M, (jax.Array, TimeVarying)):
         return False
@@ -156,11 +162,46 @@ class IndexingMatrix:
         return self.matvec(jnp.asarray(other))
 
     def __rmatmul__(self, other):
-        # other @ I  ==  (I.T @ other.T).T  == gather of other's columns
+        # other @ I  ==  (I.T @ other.T).T  == column scatter-add
         other = jnp.asarray(other)
         return jnp.moveaxis(
             self.rmatvec(jnp.moveaxis(other, -1, 0)), 0, -1
         )
+
+    @property
+    def T(self) -> "TransposedIndexingMatrix":
+        """Lazy transpose so ``R @ C.T`` / ``C @ R @ C.T`` in Kalman
+        updates stay gathers (indexing_matrix.jl:51-101 fast multiplies) —
+        this is what lets an :class:`IndexingMatrix` serve as the ``C``
+        of a ``LinearMeasurementModel`` (the reference's friction-NN
+        workflow, docs/src/friction_nn_example.md)."""
+        return TransposedIndexingMatrix(base=self)
+
+
+@struct
+class TransposedIndexingMatrix:
+    """``I.T`` view: ``I.T @ v`` scatter-adds, ``M @ I.T`` gathers columns."""
+
+    base: IndexingMatrix = field()
+
+    @property
+    def shape(self):
+        m, n = self.base.shape
+        return (n, m)
+
+    @property
+    def T(self) -> IndexingMatrix:
+        return self.base
+
+    def todense(self, dtype=jnp.float32) -> jax.Array:
+        return self.base.todense(dtype).T
+
+    def __matmul__(self, other):
+        return self.base.rmatvec(jnp.asarray(other))
+
+    def __rmatmul__(self, other):
+        # M @ I.T: result[..., j] = M[..., inds[j]] — a column gather
+        return jnp.take(jnp.asarray(other), self.base.inds, axis=-1)
 
 
 def indexing_matrix(inds, n: int) -> IndexingMatrix:

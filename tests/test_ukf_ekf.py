@@ -342,6 +342,41 @@ def test_iekf_iterations_help_on_strong_nonlinearity():
     assert lls[10] < lls[1], lls
 
 
+def test_iekf_custom_cjac_matches_autodiff():
+    """IEKF with an analytic measurement Jacobian is identical to the
+    jacfwd default (test_iekf.jl:131-173: h(x)=1/x and h2(x,u)=u/x)."""
+    Q = jnp.array([[1.0]])
+    RR = jnp.array([[2.0]])
+    d0a = llpf.MvNormal(jnp.array([5.0]), jnp.eye(1))
+    dyn = lambda x, u, p, t: x - 0.01 * x**2
+
+    h = lambda x, u, p, t: 1.0 / x
+    hjac = lambda x, u, p, t: jnp.reshape(-1.0 / x**2, (1, 1))
+    iekf_ad = llpf.make_iekf(dyn, h, Q, RR, d0=d0a, nu=0, ny=1)
+    iekf_an = llpf.make_iekf(dyn, h, Q, RR, d0=d0a, nu=0, ny=1, Cjac=hjac)
+    sa, _ = iekf_ad.correct(iekf_ad.init(), None, jnp.array([0.25]))
+    sb, _ = iekf_an.correct(iekf_an.init(), None, jnp.array([0.25]))
+    # posterior sanity (test_iekf.jl:153-155): moved toward 1/y=4, R shrank
+    assert 4.0 < float(sa.x[0]) < 5.0
+    assert float(sa.R[0, 0]) < 1.0
+    np.testing.assert_allclose(np.asarray(sb.x), np.asarray(sa.x), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sb.R), np.asarray(sa.R), rtol=1e-6)
+
+    # u-dependent measurement h2(x, u) = u/x with step=0.9
+    h2 = lambda x, u, p, t: u / x
+    h2jac = lambda x, u, p, t: jnp.reshape(-u / x**2, (1, 1))
+    ie2a = llpf.make_iekf(dyn, h2, Q, RR, d0=d0a, nu=1, ny=1, step=0.9)
+    ie2b = llpf.make_iekf(dyn, h2, Q, RR, d0=d0a, nu=1, ny=1, step=0.9,
+                          Cjac=h2jac)
+    u0 = jnp.array([100.0])
+    s2a, _ = ie2a.correct(ie2a.init(), u0, jnp.array([25.0]))
+    s2b, _ = ie2b.correct(ie2b.init(), u0, jnp.array([25.0]))
+    assert 4.0 < float(s2a.x[0]) < 5.0
+    assert float(s2a.R[0, 0]) < 1.0
+    np.testing.assert_allclose(np.asarray(s2b.x), np.asarray(s2a.x), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2b.R), np.asarray(s2a.R), rtol=1e-6)
+
+
 def test_ekf_r12_correlated_noise(rng):
     """Filter with the R12 cross-covariance has lower estimation-error
     variance on correlated-noise data (test_ekf.jl:364-449, Simon's
