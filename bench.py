@@ -40,6 +40,19 @@ def _timeit(fn, *args, repeats=3):
     return sorted(ts)[len(ts) // 2]  # median — robust to transport flakes
 
 
+def _tslope(make, T1, T2):
+    """Steady-state rate via the T-slope: time the same jitted workload at
+    two trajectory lengths and divide the extra work by the extra time.
+    The axon relay adds ~27 ms of per-dispatch RPC latency; any wall-time
+    at T where compute ≲ 100 ms mis-reports throughput by up to ~6x.
+    ``make(T) -> (fn, args, work_units)``.  Returns (units/s, dt(T1))."""
+    fn1, args1, w1 = make(T1)
+    fn2, args2, w2 = make(T2)
+    dt1 = _timeit(fn1, *args1)
+    dt2 = _timeit(fn2, *args2)
+    return (w2 - w1) / max(dt2 - dt1, 1e-9), dt1
+
+
 def bench_pf(N=100_000, T=1_000, resample_threshold=0.1):
     """Bootstrap-PF throughput.  ``resample_threshold=0.1`` matches the
     reference's constructor default (PFtypes.jl resample_threshold=0.1) and
@@ -60,19 +73,21 @@ def bench_pf(N=100_000, T=1_000, resample_threshold=0.1):
     )
     kf = llpf.KalmanFilter(A, B, C, 0, R1, R2)
     key = jax.random.PRNGKey(0)
-    _, us, ys = llpf.simulate(kf, 0.3 * jnp.ones((T, 1), jnp.float32), key)
 
-    run = jax.jit(lambda u, y, k: pf.loglik(u, y, key=k))
     # rbg keys use the TPU's RngBitGenerator — ~100x cheaper bits than
     # threefry for the per-step process noise (same PF API, same stats).
-    dt = _timeit(run, us, ys, jax.random.key(1, impl="rbg"))
+    def make(Tn):
+        _, us, ys = llpf.simulate(kf, 0.3 * jnp.ones((Tn, 1), jnp.float32), key)
+        run = jax.jit(lambda u, y, k: pf.loglik(u, y, key=k))
+        return run, (us, ys, jax.random.key(1, impl="rbg")), N * Tn
+
+    rate, dt = _tslope(make, T, 4 * T)
     # model FLOPs per particle-step: dynamics 2*nx^2 + noise matmul 2*nx^2
     # + weight quadratic form 2*ny^2(+exp) ≈ 24; the resample-index
     # matmul adds 2*(N/128)*128 = 2N per particle-step when it fires
     # (always for threshold=1.0).
     per_ps = 24 + (2 * (N // 128 + 1) if resample_threshold >= 1.0 else 0)
-    flops = N * T * per_ps
-    return N * T / dt, dt, flops / dt / PEAK_BF16_FLOPS
+    return rate, dt, rate * per_ps / PEAK_BF16_FLOPS
 
 
 def bench_kf_bank(Bk=1024, T=200):
@@ -83,17 +98,19 @@ def bench_kf_bank(Bk=1024, T=200):
     R2 = 0.1 * jnp.eye(2, dtype=jnp.float32)
     kf = llpf.KalmanFilter(A, Bm, C, 0, R1, R2)
     keys = jax.random.split(jax.random.PRNGKey(0), Bk)
-    us = 0.3 * jnp.ones((Bk, T, 1), jnp.float32)
-    ys = jax.vmap(lambda k, u: llpf.simulate(kf, u, k)[2])(keys, us)
 
-    run = jax.jit(
-        lambda us, ys: jax.vmap(lambda u, y: llpf.loglik(kf, u, y))(us, ys)
-    )
-    dt = _timeit(run, us, ys)
+    def make(Tn):
+        us = 0.3 * jnp.ones((Bk, Tn, 1), jnp.float32)
+        ys = jax.vmap(lambda k, u: llpf.simulate(kf, u, k)[2])(keys, us)
+        run = jax.jit(
+            lambda us, ys: jax.vmap(lambda u, y: llpf.loglik(kf, u, y))(us, ys)
+        )
+        return run, (us, ys), Bk * Tn
+
+    step_rate, dt = _tslope(make, T, 8 * T)
     # model FLOPs per KF step (nx=2, ny=2, nu=1): predict 2(2nx^3+nx^2 nu)
     # + correct ~ 2(2 nx^2 ny + ny^3 + nx ny^2 + nx ny) ≈ 150 flops.
-    flops = Bk * T * 150
-    return Bk / dt, dt, flops / dt / PEAK_BF16_FLOPS
+    return step_rate / T, dt, step_rate * 150 / PEAK_BF16_FLOPS
 
 
 def bench_ukf(T=50_000):
@@ -125,11 +142,15 @@ def bench_ukf(T=50_000):
     dtf = _timeit(runf, ys)
 
     # the TPU-native execution mode: a bank of 1024 independent UKF passes
-    Bk, Tb = 1024, 1000
-    ysb = jax.random.normal(jax.random.PRNGKey(1), (Bk, Tb, 2), dtype=jnp.float32)
-    runb = jax.jit(lambda ysb: jax.vmap(lambda y: llpf.loglik(ukf, None, y))(ysb))
-    dtb = _timeit(runb, ysb)
-    return T / dt, dt, Bk * Tb / dtb, T / dtf
+    Bk = 1024
+
+    def make(Tn):
+        ysb = jax.random.normal(jax.random.PRNGKey(1), (Bk, Tn, 2), dtype=jnp.float32)
+        runb = jax.jit(lambda ysb: jax.vmap(lambda y: llpf.loglik(ukf, None, y))(ysb))
+        return runb, (ysb,), Bk * Tn
+
+    bank_rate, _ = _tslope(make, 1000, 4000)
+    return T / dt, dt, bank_rate, T / dtf
 
 
 def bench_ffbs(N=1000, M=1000, T=500):
@@ -149,14 +170,17 @@ def bench_ffbs(N=1000, M=1000, T=500):
         initial_density=R1,
     )
     kf = llpf.KalmanFilter(A, B, jnp.eye(2, dtype=jnp.float32), 0, R1, R2)
-    _, us, ys = llpf.simulate(kf, 0.3 * jnp.ones((T, 1), jnp.float32),
-                              jax.random.PRNGKey(0))
-    run = jax.jit(lambda k: pf.smooth(us, ys, M=M, key=k)[0])
-    dt = _timeit(run, jax.random.key(3, impl="rbg"))
+
+    def make(Tn):
+        _, us, ys = llpf.simulate(kf, 0.3 * jnp.ones((Tn, 1), jnp.float32),
+                                  jax.random.PRNGKey(0))
+        run = jax.jit(lambda k: pf.smooth(us, ys, M=M, key=k)[0])
+        return run, (jax.random.key(3, impl="rbg"),), Tn * M * N
+
+    rate, dt = _tslope(make, T, 4 * T)
     # model FLOPs: per backstep one [M,nx]x[nx,N] cross matmul (2*M*N*nx)
     # plus the forward PF pass (negligible); nx=2.
-    flops = (T - 1) * 2 * M * N * 2
-    return T * M * N / dt, dt, flops / dt / PEAK_BF16_FLOPS
+    return rate, dt, rate * 4 / PEAK_BF16_FLOPS
 
 
 def bench_parallel_kf(T=100_000):
@@ -214,6 +238,9 @@ def main():
             "pf_resample_every_step_mfu_vs_bf16peak": round(pf_full_mfu, 5),
             "kf_bank1024_mfu_vs_bf16peak": round(kf_mfu, 7),
             "mfu_note": "analytic model FLOPs / walltime / 197e12 (v5e bf16 peak)",
+            "method": "T-slope steady-state rates (the axon relay adds "
+                      "~27 ms per-dispatch RPC; wall-times at the base T "
+                      "are reported alongside)",
             "device": jax.devices()[0].device_kind,
         },
     }

@@ -198,4 +198,27 @@ from .utils.solutions import (
     ParticleFilteringSolution,
 )
 
+# Reference-parity accessor surface (flat-function verbs over states;
+# src/LowLevelParticleFilters.jl:3-10 export list)
+from .compat import (
+    state,
+    covariance,
+    num_particles,
+    weights,
+    expweights,
+    particles,
+    particletype,
+    shouldresample,
+    update,
+    predict,
+    correct,
+    reset,
+    sample_measurement,
+)
+
+# Naming aliases for users arriving from the reference package
+from .filters.ekf import make_iekf as IteratedExtendedKalmanFilter  # noqa: N816
+from .filters.particle import PFState as PFstate  # noqa: N816
+from .filters.rbpf import RBState as RBParticle  # noqa: N816
+
 __version__ = "0.1.0"

@@ -122,6 +122,29 @@ def plot_particles(sol, *, q=(0.025, 0.975), xreal=None):
     return fig
 
 
+def densityplot(x, we=None, *, ax=None, npoints: int = 200, **kw):
+    """Weighted kernel-density plot of a particle marginal
+    (src/plotting.jl:49-60 `densityplot` recipe).
+
+    ``x``: [N] samples (one state dimension), ``we``: normalized weights
+    (uniform if None).
+    """
+    plt = _plt()
+    import jax.numpy as jnp
+
+    from .diagnostics import kde
+
+    grid, dens = kde(jnp.asarray(np.asarray(x).ravel()),
+                     None if we is None else jnp.asarray(np.asarray(we).ravel()),
+                     npoints=npoints)
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 3))
+    ax.plot(np.asarray(grid), np.asarray(dens), **kw)
+    ax.fill_between(np.asarray(grid), 0, np.asarray(dens), alpha=0.2)
+    ax.set_ylabel("density")
+    return ax
+
+
 def validationplot(sol, sigma: float = 0.95):
     """Four-panel statistical validation (DistributionsExt.jl:106-238):
     innovation RMS, NIS vs χ² bounds, autocorrelation, input
