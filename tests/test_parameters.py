@@ -116,3 +116,52 @@ def test_pytree_inputs():
     )
     ll = llpf.loglik(ukf, u_tree, ys)
     np.testing.assert_allclose(float(ll), float(sol_flat.ll), rtol=1e-10)
+
+
+class TestDiffAllFilters:
+    """test_diff.jl: one predict+correct of KF/UKF/SqKF/EKF must be
+    differentiable w.r.t. R1 scale, R2 scale, and a dynamics parameter;
+    gradients checked finite and against central finite differences."""
+
+    _A = jnp.array([[0.99, 0.1], [0.0, 0.2]])
+    _B = jnp.array([[-0.74, 1.61], [-1.44, 1.75]])
+
+    def _filters(self, r1, r2, p=None):
+        A, B = self._A, self._B
+        C = jnp.eye(2)
+        R1 = r1 * jnp.eye(2)
+        R2 = r2 * jnp.eye(2)
+        d0 = llpf.MvNormal(jnp.zeros(2), jnp.eye(2))
+        dyn3 = lambda x, u, pp, t: A @ x + B @ u + (pp if pp is not None else 0.0)
+        me3 = lambda x, u, pp, t: x + (pp if pp is not None else 0.0)
+        return (
+            llpf.KalmanFilter(A, B, C, 0, R1, R2, d0=d0),
+            llpf.make_ukf(dyn3, me3, R1, R2, d0=d0, nu=2, ny=2, p=p),
+            llpf.SqKalmanFilter(A, B, C, 0, R1, R2, d0=d0),
+            llpf.make_ekf(dyn3, me3, R1, R2, d0=d0, nu=2, ny=2, p=p),
+        )
+
+    def _cost(self, r1, r2, p=None):
+        u0 = jnp.array([0.3, -0.2])
+        y0 = jnp.array([0.5, 0.1])
+        out = 0.0
+        for f in self._filters(r1, r2, p):
+            s = f.predict(f.init(), u0)
+            s, info = f.correct(s, u0, y0, p)
+            out = out - info.ll + jnp.sum(info.e)
+        return out
+
+    @pytest.mark.parametrize("which", ["R1", "R2", "p"])
+    def test_grad_matches_fd(self, which):
+        if which == "R1":
+            f = lambda th: self._cost(th, 1.0)
+        elif which == "R2":
+            f = lambda th: self._cost(1.0, th)
+        else:
+            f = lambda th: self._cost(1.0, 1.0, th)
+        th0 = jnp.asarray(1.0)
+        g = jax.grad(f)(th0)
+        assert np.isfinite(float(g))
+        h = 1e-5
+        fd = (f(th0 + h) - f(th0 - h)) / (2 * h)
+        np.testing.assert_allclose(float(g), float(fd), rtol=2e-3, atol=1e-4)
