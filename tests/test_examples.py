@@ -97,3 +97,14 @@ def test_beetle_imm_example():
     assert mu[t_switch - 10, 1] < 0.5       # pre-switch: goal mode
     assert mu[t_switch + 25 :, 1].mean() > 0.5  # post-switch: search mode
     assert float(sol_opt.ll) >= float(sol.ll) - 1e-3
+
+
+def test_thermal_nn_example():
+    """examples/example_thermal_nn.py (thermal_nn_example.md analogue):
+    the RBF clear-sky insolation profile learned by grad-through-sse
+    matches the truth during daytime, with cloud cover tracked online."""
+    mod = _load("example_thermal_nn")
+    theta, rel, cloud_rmse, sol = mod.main()
+    assert np.isfinite(np.asarray(theta)).all()
+    assert rel < 0.15, f"daytime insolation profile rel RMSE {rel}"
+    assert cloud_rmse < 0.35
