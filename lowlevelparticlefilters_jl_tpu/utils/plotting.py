@@ -93,9 +93,16 @@ def plot_smoothing(ssol, *, ribbon: float = 2.0, xreal=None):
     return fig
 
 
-def plot_particles(sol, *, q=(0.025, 0.975), xreal=None):
-    """Particle-solution plot: weighted mean + quantile band per state
-    (solutions.jl:354-487)."""
+def plot_particles(sol, *, q=(0.025, 0.975), xreal=None, heatmap=False,
+                   nbinsy: int = 30):
+    """Particle-solution plot (solutions.jl:354-487).
+
+    Default: weighted mean + quantile band per state (the recipe's
+    ``q=...`` mode).  ``heatmap=True`` renders the recipe's default
+    mode instead: a per-dimension weighted 2-D histogram of the whole
+    particle cloud over (time, value) with ``nbinsy`` value bins —
+    the full filtering density, not just summary statistics.
+    """
     plt = _plt()
     from ..trajectory import weighted_mean, weighted_quantile
 
@@ -104,11 +111,31 @@ def plot_particles(sol, *, q=(0.025, 0.975), xreal=None):
     T, N, nx = x.shape
     import jax.numpy as jnp
 
+    fig, axes = plt.subplots(nx, 1, figsize=(8, 2.2 * nx), squeeze=False)
+    t = np.arange(T)
+    if heatmap:
+        for i in range(nx):
+            ax = axes[i, 0]
+            xi = x[:, :, i]
+            lo, hi = float(xi.min()), float(xi.max())
+            edges = np.linspace(lo, hi + 1e-12, nbinsy + 1)
+            # weighted per-step histogram [T, nbinsy]
+            bins = np.clip(np.digitize(xi, edges) - 1, 0, nbinsy - 1)
+            H = np.zeros((T, nbinsy))
+            rows = np.repeat(t, N)
+            np.add.at(H, (rows, bins.ravel()), we.ravel())
+            ax.pcolormesh(t, 0.5 * (edges[:-1] + edges[1:]), H.T,
+                          cmap="viridis", shading="nearest")
+            if xreal is not None:
+                ax.plot(t, np.asarray(xreal)[:, i], "r--", lw=1, label="true")
+                ax.legend(loc="best", fontsize=8)
+            ax.set_ylabel(f"x{i+1}")
+        axes[-1, 0].set_xlabel("time")
+        return fig
+
     m = np.asarray(weighted_mean(jnp.asarray(x), jnp.asarray(we)))
     qlo = np.asarray(weighted_quantile(jnp.asarray(x), jnp.asarray(we), q[0]))
     qhi = np.asarray(weighted_quantile(jnp.asarray(x), jnp.asarray(we), q[1]))
-    fig, axes = plt.subplots(nx, 1, figsize=(8, 2.2 * nx), squeeze=False)
-    t = np.arange(T)
     for i in range(nx):
         ax = axes[i, 0]
         ax.fill_between(t, qlo[:, i], qhi[:, i], alpha=0.25,

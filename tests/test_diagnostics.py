@@ -222,6 +222,12 @@ class TestPlotting:
         assert len(fig2.axes) >= 1
         frames = llpf.plotting.commandplot(pf, sol)
         next(frames)  # one frame renders
+        # weighted-KDE marginal recipe (plotting.jl:49-60 densityplot)
+        ax = llpf.plotting.densityplot(sol.x[-1, :, 0], sol.we[-1])
+        assert ax is not None
+        # weighted 2-D histogram heatmap (solutions.jl:354-430 default mode)
+        fig3 = llpf.plotting.plot_particles(sol, heatmap=True, xreal=xs[:40])
+        assert len(fig3.axes) == 2
 
     def test_covplot_unscentedplot(self):
         ax = llpf.plotting.covplot(jnp.zeros(2), jnp.eye(2))
