@@ -201,6 +201,7 @@ from .utils.solutions import (
 # Reference-parity accessor surface (flat-function verbs over states;
 # src/LowLevelParticleFilters.jl:3-10 export list)
 from .compat import (
+    index,
     state,
     covariance,
     num_particles,

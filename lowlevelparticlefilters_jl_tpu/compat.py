@@ -46,6 +46,12 @@ def covariance(obj):
     raise TypeError(f"no covariance accessor for {type(obj).__name__}")
 
 
+def index(s) -> jax.Array:
+    """Current step counter of a filter state
+    (src/LowLevelParticleFilters.jl:116 `index`)."""
+    return s.t
+
+
 def num_particles(pf_or_state) -> int:
     """`num_particles` (PFtypes.jl)."""
     if isinstance(pf_or_state, PFState):

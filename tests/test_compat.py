@@ -84,6 +84,14 @@ def test_sample_measurement_dispatch():
     np.testing.assert_allclose(np.asarray(y0), 0.0)
 
 
+def test_index_step_counter():
+    kf = _kf()
+    s = llpf.reset(kf)
+    assert int(llpf.index(s)) == 0
+    s, _ = llpf.update(kf, s, jnp.zeros(1), jnp.array([0.3]))
+    assert int(llpf.index(s)) == 1
+
+
 def test_aliases():
     assert llpf.IteratedExtendedKalmanFilter is llpf.make_iekf
     assert llpf.PFstate is llpf.PFState
