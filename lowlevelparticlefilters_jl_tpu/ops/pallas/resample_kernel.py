@@ -31,9 +31,13 @@ versus the XLA reference - statistically immaterial (both are valid
 systematic resamples of an eps-perturbed CDF).
 
 STATUS (2026-08-16, v5e, round 2): compiles and runs on hardware but is
-SUPERSEDED by the pure-XLA matmul-index formulation in `ops/resample.py`
-(`_systematic_j_matmul`, ~355 us + one ~200 us row take at N=1e5 vs this
-kernel's ~2.0 ms — its [8,128,128] broadcast compares are VPU-bound).
+SUPERSEDED twice over — first by the pure-XLA matmul-index formulation in
+`ops/resample.py` (`_systematic_j_matmul`, ~355 us + one ~200 us row take
+at N=1e5 vs this kernel's ~2.0 ms — its [8,128,128] broadcast compares
+are VPU-bound), then by the production v2 kernel
+(`ops/pallas/resample_v2.py`: windowed MXU one-hot contractions, ~224 us
+at N=1e5, bitwise exact, auto-selected by `resample_systematic_gather`).
+Kept for its in-VMEM prefix-sum CDF machinery and as a negative result.
 Round-2 honest measurements (T-slope; the round-1 numbers cited below
 were polluted by the ~27 ms relay RPC): XLA scatter-histogram path
 ~880 us, searchsorted 2.2+ ms.  NOT wired into any filter:

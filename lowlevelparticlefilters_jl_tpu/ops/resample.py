@@ -4,8 +4,10 @@ TPU-native re-design of /root/reference/src/resample.jl.  The reference walks
 the CDF with a sequential two-pointer loop (resample.jl:17-36); on TPU the
 same algorithm is a parallel prefix-sum (`jnp.cumsum`, which XLA lowers to a
 log-depth scan) followed by a vectorized `searchsorted` binary search — both
-map onto the VPU with no sequential dependence on N.  A fused Pallas kernel
-for the N >= 1e5 regime lives in ``ops/pallas/resample_kernel.py``.
+map onto the VPU with no sequential dependence on N.  The production fused
+kernel for the N >= 32768 regime is ``ops/pallas/resample_v2.py`` (index +
+gather in one pallas call, ~224 µs at N=1e5 on v5e, bitwise exact);
+``ops/pallas/resample_kernel.py`` is the superseded v1 experiment.
 
 All resamplers are shape-static and `lax.cond`/`scan`-compatible: they take a
 PRNG key and return an int32 index vector ``j`` of length M.
