@@ -459,3 +459,99 @@ def test_pluggable_cholesky_fn(data):
     sf = llpf.forward_trajectory(ukf_fix, u[:20], y[:20])
     assert not bool(jnp.all(sb.ok))
     assert bool(jnp.all(sf.ok))
+
+
+def test_bumpy_disturbance_augmented_smoother_ordering():
+    """test_ukf.jl:338-388: augmented-dynamics UKF with multiplicative
+    disturbance noise; the unscented RTS smoother must beat filtering,
+    which must beat prediction (eT < eF < eP)."""
+    T = 150
+    rng = np.random.default_rng(0)
+    w_seq = np.stack([np.sqrt(0.1) * rng.normal(size=T),
+                      np.sin(0.1 * np.arange(1, T + 1)) ** 2], axis=1)
+    x_true = [1.0]
+    ys = [[1.0]]
+    for i in range(T - 1):
+        x_true.append(0.8 * x_true[i] + w_seq[i, 0] + w_seq[i, 1])
+        ys.append([x_true[i] + np.sqrt(0.1) * rng.normal()])
+    X = np.stack([np.asarray(x_true), w_seq[:, 1]], axis=1)
+
+    def dist_dyn(xd, u, p, t, w):
+        x, dd = xd
+        return jnp.array([0.8 * x + dd + w[0], jnp.abs(dd * (w[1] ** 2 + 1))])
+
+    def dist_meas(xd, u, p, t):
+        return xd[:1]
+
+    R1b = 0.1 * jnp.eye(2)
+    ukfw = llpf.make_ukf(dist_dyn, dist_meas, R1b, 0.1 * jnp.eye(1),
+                         d0=llpf.MvNormal(jnp.zeros(2), R1b),
+                         nu=0, ny=1, nw=2, augmented_dynamics=True)
+    us = jnp.zeros((T, 0))
+    ysj = jnp.asarray(np.asarray(ys))
+    ssol = ukfw.smooth(us, ysj)
+    eT = float(np.sum((X - np.asarray(ssol.xT)) ** 2))
+    eF = float(np.sum((X - np.asarray(ssol.xt)) ** 2))
+    eP = float(np.sum((X - np.asarray(ssol.x)) ** 2))
+    assert eT < eF < eP, (eT, eF, eP)
+
+
+def test_sample_time_invariance_covariance_tuning():
+    """test_ukf.jl:391-456: the same continuous-time noise process
+    expressed four ways — discrete KF/UKF with R1*Ts, augmented UKF with
+    rk4-discretized continuous noise input (R1/Ts), and the exactly
+    c2d-discretized augmented form — yields the SAME covariance
+    evolution for any Ts."""
+    R1s = 1.0
+    R2s = jnp.array([[1.0]])
+    d0s = llpf.MvNormal(jnp.zeros(1), 1e-8 * jnp.eye(1))
+
+    def cov_evol_predict_only(f, steps=60):
+        s = f.init()
+        out = []
+        for _ in range(steps):
+            out.append(float(s.R[0, 0]))
+            s = f.predict(s, jnp.zeros(1))
+        return np.asarray(out)
+
+    for Ts in (0.1, 1.0, 10.0):
+        # integrator: c2d(ss(0,1,1,0), Ts): A=1, B=Ts
+        Ad = jnp.array([[1.0]])
+        Bd = jnp.array([[Ts]])
+        Cd = jnp.array([[1.0]])
+
+        kf = llpf.KalmanFilter(Ad, Bd, Cd, 0, R1s * Ts * jnp.eye(1), R2s,
+                               d0=d0s, Ts=Ts)
+        ukf = llpf.make_ukf(lambda x, u, p, t: Ad @ x + Bd @ u,
+                            lambda x, u, p, t: Cd @ x,
+                            R1s * Ts * jnp.eye(1), R2s, d0=d0s,
+                            nu=1, ny=1, Ts=Ts)
+
+        # augmented continuous noise input, rk4-discretized
+        def dyn_w_cont(x, u, p, t, w):
+            return 0.0 * x + u + w
+
+        def dyn_w_disc(x, u, p, t, w, Ts=Ts):
+            step = llpf.rk4(lambda xx, uu, pp, tt: dyn_w_cont(xx, uu, pp, tt, w),
+                            Ts, supersample=100)
+            return step(x, u, p, t)
+
+        ukfw = llpf.make_ukf(dyn_w_disc, lambda x, u, p, t: Cd @ x,
+                             (R1s / Ts) * jnp.eye(1), R2s, d0=d0s,
+                             nu=1, ny=1, nw=1, augmented_dynamics=True)
+
+        # exactly-discretized augmented form: Bw_d = Ts * chol(R1) = Ts
+        def dyn_w_aug(x, u, p, t, w, Ts=Ts):
+            return Ad @ x + Bd @ u + Ts * w
+
+        ukfw_aug = llpf.make_ukf(dyn_w_aug, lambda x, u, p, t: Cd @ x,
+                                 (R1s / Ts) * jnp.eye(1), R2s, d0=d0s,
+                                 nu=1, ny=1, nw=1, augmented_dynamics=True)
+
+        r0 = cov_evol_predict_only(kf)
+        r1 = cov_evol_predict_only(ukf)
+        r2 = cov_evol_predict_only(ukfw)
+        r3 = cov_evol_predict_only(ukfw_aug)
+        np.testing.assert_allclose(r1, r0, rtol=1e-5)
+        np.testing.assert_allclose(r2, r0, rtol=1e-5)
+        np.testing.assert_allclose(r3, r0, rtol=1e-5)
