@@ -1,0 +1,194 @@
+"""Pallas TPU kernel: the FFBS backward-simulation pass in ONE kernel.
+
+The XLA backstep of :func:`smoothing.ffbs_smooth` costs ~115 µs/step at
+M=N=1000 on v5e (rbg keys; ~300 µs with threefry) even though its
+arithmetic is ~5 MFLOP: the [M, N] weight matrix, gumbel noise, argmax
+and gather each round-trip HBM as separate fusions.  This kernel runs
+the whole reversed recursion as a sequential pallas grid over t with the
+current trajectory states ``xb`` carried in VMEM scratch — the [M, N]
+intermediates never leave VMEM.
+
+Split of work (reference math: smoothing.jl:104-143):
+
+- XLA (outside, batched over all t): whitened predicted particles
+  ``zpred = L⁻¹ f(xf)`` and the folded constant ``wfc = wf − ½‖zpred‖²``
+  — everything that does not depend on xb.
+- kernel (per step t, reversed; L = chol(Σ_dyn), folded in as
+  compile-time scalars since nx ≤ 8):
+    zb    = L⁻¹ (xb − μ)                         [M, nx] column-unrolled
+    wb    = wfc + zb·zpredᵀ − ½‖zb‖²             [M, N]  VPU broadcasts
+            (an MXU dot would waste a 128-wide pass on an nx-deep
+            contraction)
+    score = wb + Gumbel(0,1) from the hardware PRNG
+    i     = argmax(score)   (exact first-max tie-break via lane iota)
+    xb    = onehot(i)-selection of xf            exact 0/1 sum = gather
+
+Statistical note: the categorical draws use `pltpu.prng_random_bits`
+seeded per (base_seed, t), NOT the caller's jax PRNG stream, so results
+differ draw-for-draw from the XLA path while being distributionally
+identical (same Gumbel-max construction).  This mirrors
+``noise_backend='pallas'`` on the particle filter; the blockwise stream
+separation follows the ADVICE-r1 fix in ops/pallas/noise.py (distinct
+second seed word per step, not seed+offset collisions).
+
+Shapes: N padded to 128 lanes, M to 8 sublanes, state dims live on a
+padded lane axis of 8.  VMEM high-water ≈ 3×[M, Npad] f32.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .noise import _on_tpu
+
+_NEG = -3.0e38
+
+
+def _make_kernel(Mpad, Npad, N, nx, NXP, use_prng):
+    """Kernel factory (static dims only).  Linv rows and mu arrive as
+    runtime SMEM scalars (``lmu_ref``: nx·nx Linv entries row-major, then
+    nx mu entries) so the wrapper stays jit-traceable.
+    ``use_prng=False`` (interpret mode — `prng_seed` has no CPU lowering)
+    skips the Gumbel perturbation, reducing the draw to exact MAP
+    selection, which the off-TPU tests check against an oracle."""
+
+    def kernel(seed_ref, lmu_ref, zpred_ref, wfc_ref, xfp_ref, init_ref,
+               out_ref, xb):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            xb[...] = init_ref[...]
+            out_ref[...] = init_ref[...]
+
+        @pl.when(t > 0)
+        def _step():
+            zp = zpred_ref[...]                       # [NXP, Npad]
+            wfcv = wfc_ref[...]
+            wfc0 = jax.lax.slice(wfcv, (0, 0), (1, Npad))
+            wb = jax.lax.broadcast_in_dim(wfc0, (Mpad, Npad), (0, 1))
+            cm = jnp.zeros((Mpad, 1), jnp.float32)
+            xbv = xb[...]
+            for k in range(nx):
+                # zb_k = sum_j Linv[k, j] (xb_j - mu_j) - c_t[k]  → [M, 1]
+                # (c_t = per-step center, wfc row k+1 — the quadratic form
+                # is shift-invariant; centering kills the catastrophic
+                # cancellation of cm/cn/cross for clouds far from origin.)
+                zb_k = jnp.zeros((Mpad, 1), jnp.float32)
+                for j in range(k + 1):  # Linv is lower triangular
+                    xbj = jax.lax.slice(xbv, (0, j), (Mpad, j + 1))
+                    zb_k = zb_k + (xbj - lmu_ref[nx * nx + j]) * lmu_ref[
+                        k * nx + j]
+                zb_k = zb_k - jax.lax.slice(wfcv, (k + 1, 0), (k + 2, 1))
+                cm = cm + zb_k * zb_k
+                zpk = jax.lax.slice(zp, (k, 0), (k + 1, Npad))
+                wb = wb + zb_k * jax.lax.broadcast_in_dim(
+                    zpk, (Mpad, Npad), (0, 1))
+            wb = wb - 0.5 * cm
+
+            # Gumbel(0,1): u in (0,1] from int32 hardware-PRNG bits
+            # (bit handling per ops/pallas/noise.py:44-47)
+            if use_prng:
+                pltpu.prng_seed(seed_ref[0], t)
+                bits = pltpu.prng_random_bits((Mpad, Npad))
+                u = (bits.astype(jnp.float32) + 2147483648.0 + 1.0) / 4294967297.0
+                g = -jnp.log(-jnp.log(u))
+            else:
+                g = 0.0
+            lio = jax.lax.broadcasted_iota(jnp.int32, (Mpad, Npad), 1)
+            score = jnp.where(lio < N, wb + g, _NEG)
+            amax = jnp.max(score, axis=1, keepdims=True)
+            idx = jnp.min(jnp.where(score >= amax, lio, Npad), axis=1,
+                          keepdims=True)
+            oh = (lio == idx).astype(jnp.float32)     # exact 0/1, one per row
+            xfv = xfp_ref[...]
+            for d in range(nx):
+                xfd = jax.lax.slice(xfv, (d, 0), (d + 1, Npad))
+                sel = jnp.sum(
+                    oh * jax.lax.broadcast_in_dim(xfd, (Mpad, Npad), (0, 1)),
+                    axis=1, keepdims=True)
+                xb[:, d:d + 1] = sel
+            out_ref[...] = xb[...]
+
+    return kernel
+
+
+def ffbs_backward_pallas(xpred, wf, xf, xb_T, chol_dyn, mu, seed):
+    """Fused backward-simulation pass (TPU; interpret-mode off-TPU).
+
+    Args: ``xpred`` [T-1, N, nx] predicted means f(xf_t) for t=0..T-2;
+    ``wf`` [T-1, N] forward log-weights; ``xf`` [T-1, N, nx] forward
+    particles; ``xb_T`` [M, nx] pre-drawn terminal states; ``chol_dyn``
+    [nx, nx] lower Cholesky of the dynamics-noise covariance; ``mu``
+    [nx] dynamics-noise mean; ``seed`` int32 scalar.
+
+    Returns ``xb`` [T, M, nx] with ``xb[T-1] = xb_T``.
+    """
+    Tm1, N, nx = xpred.shape
+    M = xb_T.shape[0]
+    Npad = -(-N // 128) * 128
+    Mpad = -(-M // 8) * 8
+    NXP = 8
+
+    Linv = jax.scipy.linalg.solve_triangular(
+        jnp.asarray(chol_dyn, jnp.float32), jnp.eye(nx, dtype=jnp.float32),
+        lower=True)
+    lmu = jnp.concatenate(
+        [Linv.reshape(-1), jnp.asarray(mu, jnp.float32).reshape(-1)])
+
+    # whiten + center: the backward weight is
+    #   wf − ½‖L⁻¹((xb−μ) − xpred)‖² = wf − ½‖z̃p‖² + z̃b·z̃p − ½‖z̃b‖²
+    # with z̃b = L⁻¹(xb−μ) − c_t, z̃p = L⁻¹xpred − c_t (shift-invariant;
+    # c_t = per-step mean of L⁻¹xpred keeps the terms O(1) in f32).
+    zpred = jnp.einsum("kj,tnj->tnk", Linv, xpred.astype(jnp.float32))
+    c_t = jnp.mean(zpred, axis=1)                        # [T-1, nx]
+    zpred = zpred - c_t[:, None, :]
+    wfc = wf.astype(jnp.float32) - 0.5 * jnp.sum(zpred * zpred, axis=-1)
+
+    def pad_dims_major(a):                     # [T-1, N, d] → [T-1, NXP, Npad]
+        a = jnp.swapaxes(a, 1, 2)
+        return jnp.pad(a, ((0, 0), (0, NXP - a.shape[1]),
+                           (0, Npad - a.shape[2])))
+
+    zpredT = pad_dims_major(zpred)
+    xfT = pad_dims_major(xf.astype(jnp.float32))
+    wfcp = jnp.pad(wfc[:, None, :], ((0, 0), (0, 7), (0, Npad - N)),
+                   constant_values=_NEG)
+    # rows 1..nx of the wfc block carry the per-step center c_t[k]
+    crows = jnp.broadcast_to(c_t[:, :, None], (Tm1, nx, Npad))
+    wfcp = wfcp.at[:, 1:1 + nx, :].set(crows)
+    xb0 = jnp.pad(xb_T.astype(jnp.float32),
+                  ((0, Mpad - M), (0, NXP - nx)))
+
+    # grid step 0 initializes from xb_T; steps 1..T-1 handle t=T-2..0
+    zg = jnp.concatenate([zpredT[-1:] * 0, zpredT[::-1]], 0).reshape(-1, Npad)
+    wg = jnp.concatenate([wfcp[-1:] * 0, wfcp[::-1]], 0).reshape(-1, Npad)
+    xg = jnp.concatenate([xfT[-1:] * 0, xfT[::-1]], 0).reshape(-1, Npad)
+
+    kernel = _make_kernel(Mpad, Npad, N, nx, NXP, use_prng=_on_tpu())
+    out = pl.pallas_call(
+        kernel,
+        grid=(Tm1 + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((NXP, Npad), lambda t: (t, 0)),
+            pl.BlockSpec((8, Npad), lambda t: (t, 0)),
+            pl.BlockSpec((NXP, Npad), lambda t: (t, 0)),
+            pl.BlockSpec((Mpad, NXP), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Mpad, NXP), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct(((Tm1 + 1) * Mpad, NXP), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Mpad, NXP), jnp.float32)],
+        interpret=not _on_tpu(),
+    )(jnp.asarray([seed], jnp.int32), lmu, zg, wg, xg, xb0)
+    out = out.reshape(Tm1 + 1, Mpad, NXP)[:, :M, :nx]
+    return out[::-1]
+
+
+def ffbs_pallas_supported(df, M: int, N: int, nx: int) -> bool:
+    """Static gate: gaussian density, sizes inside the VMEM envelope."""
+    Npad = -(-N // 128) * 128
+    return nx <= 8 and M * Npad <= (1 << 22) and M >= 8 and N >= 128

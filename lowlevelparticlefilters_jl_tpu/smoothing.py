@@ -114,7 +114,8 @@ def smooth_mbf(sol: KalmanFilteringSolution, kf, p=None):
 # ---------------------------------------------------------------------------
 
 
-def ffbs_smooth(pf, sol, M: int, key: jax.Array, u=None, y=None, p=None):
+def ffbs_smooth(pf, sol, M: int, key: jax.Array, u=None, y=None, p=None,
+                backend: str = "auto"):
     """Forward-filtering backward-simulation particle smoother.
 
     The reference's O(T·M·N) double loop (smoothing.jl:129-141) becomes a
@@ -129,6 +130,14 @@ def ffbs_smooth(pf, sol, M: int, key: jax.Array, u=None, y=None, p=None):
     broadcasts — the whole smoother rides the MXU instead of
     materializing an [M, N, nx] difference tensor.  Non-Gaussian densities
     fall back to the broadcast form.
+
+    ``backend``: 'auto' runs the whole backward pass as ONE pallas kernel
+    on TPU for Gaussian additive noise and supported sizes
+    (ops/pallas/ffbs_kernel.py — the [M, N] intermediates stay in VMEM;
+    ~4-10x the XLA scan), falling back to the XLA scan otherwise.  Note
+    the kernel draws its categoricals from the hardware PRNG (seeded from
+    ``key``), so results differ draw-for-draw from ``backend='xla'``
+    while being distributionally identical.
 
     Returns ``(xb, ll)`` with ``xb`` of shape [T, M, nx].
     """
@@ -151,6 +160,23 @@ def ffbs_smooth(pf, sol, M: int, key: jax.Array, u=None, y=None, p=None):
 
     j = resample(sol.we[-1], k0, M, strategy=getattr(pf, "resampling_strategy", "systematic"))
     xb_T = xf[-1][j]  # [M, nx]
+
+    if backend == "auto" and gaussian:
+        from .ops.pallas.ffbs_kernel import (
+            ffbs_backward_pallas, ffbs_pallas_supported)
+        from .ops.pallas.noise import _on_tpu
+
+        if _on_tpu() and ffbs_pallas_supported(df, M, N, nx):
+            tvec = jnp.arange(T - 1) * Ts
+            xpred = jax.vmap(
+                jax.vmap(lambda xn, ut, tt: f(xn, ut, p, tt),
+                         in_axes=(0, None, None)),
+                in_axes=(0, 0, 0),
+            )(xf[:-1], u[:-1], tvec)
+            seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
+            xb = ffbs_backward_pallas(
+                xpred, wf[:-1], xf[:-1], xb_T, df.chol(), mu, seed)
+            return xb, sol.ll
 
     def backstep(carry, inp):
         xb_next, key = carry  # xb_next: [M, nx]
