@@ -161,12 +161,19 @@ def ffbs_smooth(pf, sol, M: int, key: jax.Array, u=None, y=None, p=None,
     j = resample(sol.we[-1], k0, M, strategy=getattr(pf, "resampling_strategy", "systematic"))
     xb_T = xf[-1][j]  # [M, nx]
 
-    if backend == "auto" and gaussian:
+    if backend in ("auto", "pallas") and gaussian:
         from .ops.pallas.ffbs_kernel import (
             ffbs_backward_pallas, ffbs_pallas_supported)
         from .ops.pallas.noise import _on_tpu
 
-        if _on_tpu() and ffbs_pallas_supported(df, M, N, nx):
+        ok = _on_tpu() and ffbs_pallas_supported(df, M, N, nx)
+        if backend == "pallas" and not ok:
+            raise ValueError(
+                "ffbs backend='pallas' requires a TPU backend, Gaussian "
+                f"dynamics noise, nx <= 8, M >= 8, N >= 128 and M*Npad <= "
+                f"2^22 (got M={M}, N={N}, nx={nx}, "
+                f"tpu={_on_tpu()})")
+        if ok:
             tvec = jnp.arange(T - 1) * Ts
             xpred = jax.vmap(
                 jax.vmap(lambda xn, ut, tt: f(xn, ut, p, tt),
