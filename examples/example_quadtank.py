@@ -56,6 +56,69 @@ def measurement(x, u, p, t):
     return x[:2]  # levels of the two lower tanks
 
 
+# --- joint state + fault-parameter estimation ------------------------------
+def quadtank_leak(h, u, p, t, a1):
+    """Quadtank with a distinct tank-1 outlet area ``a1`` (the fault
+    channel of example_quadtank.jl:56-71)."""
+    a, A = OUTLET, AREA
+    q1 = ssqrt(2 * G * h[0])
+    q2 = ssqrt(2 * G * h[1])
+    q3 = ssqrt(2 * G * h[2])
+    q4 = ssqrt(2 * G * h[3])
+    return jnp.array([
+        -a1 / A * q1 + a / A * q3 + GAMMA1 * K1 / A * u[0],
+        -a / A * q2 + a / A * q4 + GAMMA2 * K2 / A * u[1],
+        -a / A * q3 + (1 - GAMMA2) * K2 / A * u[1],
+        -a / A * q4 + (1 - GAMMA1) * K1 / A * u[0],
+    ])
+
+
+def quadtank_aug(s, u, p, t):
+    """Augmented 5-state model: [h1..h4, a1], the outlet area carried as
+    a random-walk state (example_quadtank.jl:56-88 — joint estimation /
+    online fault detection)."""
+    return jnp.concatenate([quadtank_leak(s[:4], u, p, t, s[4]),
+                            jnp.zeros(1)])
+
+
+dynamics_aug = llpf.rk4(quadtank_aug, TS, supersample=2)
+
+
+def fault_estimation(T=500, t_fault=250):
+    """Track a doubled tank-1 outlet (0.03 → 0.06 at ``t_fault``) online
+    with an augmented-state UKF, mirroring the reference's asserts
+    (example_quadtank.jl:84-86: â1 ≈ 0.03 before, ≈ 0.06 after)."""
+    key = jax.random.PRNGKey(0)
+    t = jnp.arange(T)
+    us = 0.25 * (jnp.sign(jnp.sin(2 * jnp.pi * t / 100.0))[:, None]
+                 * jnp.ones((1, 2))) + 0.25
+
+    a1_true = jnp.where(t >= t_fault, 2 * OUTLET, OUTLET)
+
+    def step(h, inp):
+        u, a1 = inp
+        hn = llpf.rk4(lambda hh, uu, pp, tt: quadtank_leak(hh, uu, pp, tt, a1),
+                      TS, supersample=2)(h, u, None, 0.0)
+        return hn, h
+
+    _, hs = jax.lax.scan(step, jnp.array([2.0, 2.0, 3.0, 3.0]), (us, a1_true))
+    ys = hs[:, :2] + 0.01 * jax.random.normal(key, (T, 2))
+
+    R1a = jnp.diag(jnp.array([1e-4, 1e-4, 1e-4, 1e-4, 1e-7]))
+    ukf = llpf.make_ukf(
+        dynamics_aug, measurement, R1a, 1e-4 * jnp.eye(2),
+        d0=llpf.MvNormal(jnp.array([2.0, 2.0, 3.0, 3.0, 0.02]),
+                         jnp.diag(jnp.array([1.0, 1.0, 1.0, 1.0, 1e-4]))),
+        nu=2, ny=2, Ts=TS)
+    sol = llpf.forward_trajectory(ukf, us, ys)
+    a1_est = sol.xt[:, 4]
+    pre = float(a1_est[t_fault - 10])
+    post = float(a1_est[-1])
+    print(f"a1 estimate: pre-fault {pre:.4f} (true {OUTLET}), "
+          f"post-fault {post:.4f} (true {2 * OUTLET})")
+    return sol, a1_est, pre, post
+
+
 def main():
     nx, nu, ny = 4, 2, 2
     R1 = 1e-4 * jnp.eye(nx)

@@ -108,3 +108,13 @@ def test_thermal_nn_example():
     assert np.isfinite(np.asarray(theta)).all()
     assert rel < 0.15, f"daytime insolation profile rel RMSE {rel}"
     assert cloud_rmse < 0.35
+
+
+def test_quadtank_fault_estimation():
+    """example_quadtank.jl:56-88 second act: an augmented-state UKF
+    tracks the doubled tank-1 outlet area online (the reference asserts
+    a1 ~ 0.03 pre-fault and ~ 0.06 post-fault)."""
+    mod = _load("example_quadtank")
+    sol, a1_est, pre, post = mod.fault_estimation()
+    assert abs(pre - 0.03) < 0.01
+    assert abs(post - 0.06) < 0.01
