@@ -107,6 +107,27 @@ def resample_systematic(we: jax.Array, key: jax.Array, M: int | None = None) -> 
 
 
 _KERNEL_MIN_N = 1 << 15  # below this the XLA path wins (kernel pads to 8192)
+_KERNEL_VMEM_BUDGET = 12 << 20  # bytes of VMEM for the kernel's scratch
+
+
+def _kernel_fits(N: int, nx: int) -> bool:
+    """VMEM-aware admission for the fused kernel.  Accounts for every
+    VMEM consumer — persistent scratch ``(nx+1)×Rpad×128`` f32
+    (resample_v2: acc + inner), the output blocks ``(nx+1)×Rout_pad×128``,
+    the streamed input blocks and ~2.5 MB of mask intermediates — so wide
+    states are admissible at moderate N (an RBPF cloud with a flattened
+    per-particle covariance at N=32768 fits up to nx≈19) while N=1e5
+    admits nx≤8.  A Mosaic scoped-VMEM overflow is a hard compile error,
+    not a fallback, so this must stay conservative."""
+    from .pallas.resample_v2 import CHUNK, W
+
+    Rout = -(-N // 128)
+    Rout_pad = -(-Rout // 128) * 128
+    Rpad = Rout_pad + ((W + 127) // 128 + 1) * 128
+    scratch = (nx + 1) * Rpad * 128 * 4
+    outblk = (nx + 1) * Rout_pad * 128 * 4
+    inblk = 2 * nx * 8 * CHUNK * 4
+    return scratch + outblk + inblk + (5 << 19) <= _KERNEL_VMEM_BUDGET
 
 
 def resample_systematic_gather(x: jax.Array, we: jax.Array, key: jax.Array) -> jax.Array:
@@ -124,7 +145,7 @@ def resample_systematic_gather(x: jax.Array, we: jax.Array, key: jax.Array) -> j
     select (never approximate) particle values.
     """
     N = we.shape[-1]
-    if x.ndim == 2 and N >= _KERNEL_MIN_N and x.shape[1] <= 16:
+    if x.ndim == 2 and N >= _KERNEL_MIN_N and _kernel_fits(N, x.shape[1]):
         from .pallas.noise import _on_tpu
 
         if _on_tpu():
