@@ -62,3 +62,27 @@ def test_gather_wrapper_exactness():
     np.testing.assert_array_equal(
         np.asarray(resample_systematic_gather(x, we, kr)), ref
     )
+
+
+def test_kernel_wide_state_exact():
+    """Wide particle states (e.g. an RBPF cloud with flattened
+    per-particle covariance) stay bitwise exact — the VMEM-aware
+    admission (`ops/resample.py::_kernel_fits`) allows nx≈20 at
+    N=32768; hardware-validated there, shape-validated here."""
+    N, nx = 1500, 20
+    kw, kr, kx = jax.random.split(jax.random.PRNGKey(9), 3)
+    we = jnp.abs(jax.random.normal(kw, (N,))) + 1e-9
+    we = we / jnp.sum(we)
+    x = jax.random.normal(kx, (N, nx), jnp.float32)
+    ref = np.asarray(jnp.take(x, resample_systematic(we, kr), axis=0))
+    out, j = fused_systematic_gather(x, we, kr)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_kernel_fits_admission_bounds():
+    from lowlevelparticlefilters_jl_tpu.ops.resample import _kernel_fits
+
+    assert _kernel_fits(100_000, 8)
+    assert not _kernel_fits(100_000, 12)
+    assert _kernel_fits(32_768, 20)
+    assert not _kernel_fits(32_768, 30)
