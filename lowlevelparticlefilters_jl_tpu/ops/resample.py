@@ -111,14 +111,21 @@ _KERNEL_VMEM_BUDGET = 12 << 20  # bytes of VMEM for the kernel's scratch
 
 
 def _kernel_fits(N: int, nx: int) -> bool:
-    """VMEM-aware admission for the fused kernel.  Accounts for every
-    VMEM consumer — persistent scratch ``(nx+1)×Rpad×128`` f32
-    (resample_v2: acc + inner), the output blocks ``(nx+1)×Rout_pad×128``,
-    the streamed input blocks and ~2.5 MB of mask intermediates — so wide
-    states are admissible at moderate N (an RBPF cloud with a flattened
-    per-particle covariance at N=32768 fits up to nx≈19) while N=1e5
-    admits nx≤8.  A Mosaic scoped-VMEM overflow is a hard compile error,
-    not a fallback, so this must stay conservative."""
+    """Perf + VMEM admission for the fused kernel.
+
+    Perf: the kernel's gather work scales LINEARLY in nx (9 masked MXU
+    dots per dimension per window) while XLA's row gather amortizes row
+    width, so the kernel only wins for narrow states.  v5e T-slope
+    measurements (2026-08, this repo): nx=2 → 2.7×/2.1× faster
+    (N=1e5/32768), nx=4 → 1.5×, nx=6 → 0.96×, nx=8 → 0.84×/0.51×.
+    Crossover ≈ nx 5; admit nx ≤ 4.
+
+    VMEM: persistent scratch ``(nx+1)×Rpad×128`` f32 (acc + inner) +
+    output blocks + streamed inputs + ~2.5 MB of mask intermediates must
+    stay under the scoped budget — a Mosaic overflow is a hard compile
+    error, not a fallback (bounds N ≲ 3e5 at nx=4)."""
+    if nx > 4:
+        return False
     from .pallas.resample_v2 import CHUNK, W
 
     Rout = -(-N // 128)

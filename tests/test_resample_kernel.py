@@ -65,10 +65,10 @@ def test_gather_wrapper_exactness():
 
 
 def test_kernel_wide_state_exact():
-    """Wide particle states (e.g. an RBPF cloud with flattened
-    per-particle covariance) stay bitwise exact — the VMEM-aware
-    admission (`ops/resample.py::_kernel_fits`) allows nx≈20 at
-    N=32768; hardware-validated there, shape-validated here."""
+    """Wide particle states stay bitwise exact in the kernel itself
+    (hardware-validated to nx=20) — though the admission gate routes
+    nx > 4 to XLA because the kernel's per-dimension gather dots lose
+    to the XLA row gather there (see `_kernel_fits`)."""
     N, nx = 1500, 20
     kw, kr, kx = jax.random.split(jax.random.PRNGKey(9), 3)
     we = jnp.abs(jax.random.normal(kw, (N,))) + 1e-9
@@ -82,7 +82,10 @@ def test_kernel_wide_state_exact():
 def test_kernel_fits_admission_bounds():
     from lowlevelparticlefilters_jl_tpu.ops.resample import _kernel_fits
 
-    assert _kernel_fits(100_000, 8)
-    assert not _kernel_fits(100_000, 12)
-    assert _kernel_fits(32_768, 20)
-    assert not _kernel_fits(32_768, 30)
+    # perf gate: kernel loses to XLA's row gather above nx ~ 5
+    assert _kernel_fits(100_000, 2)
+    assert _kernel_fits(100_000, 4)
+    assert not _kernel_fits(100_000, 8)
+    assert not _kernel_fits(32_768, 20)
+    # VMEM gate: very large N exceeds the scoped budget even at nx=4
+    assert not _kernel_fits(400_000, 4)
