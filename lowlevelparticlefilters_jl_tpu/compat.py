@@ -87,19 +87,27 @@ def shouldresample(we: jax.Array, threshold: float = 0.1) -> jax.Array:
 
 def update(f, s, u, y, p=None, t=None, **kw):
     """One correct-then-predict step (filtering.jl:181-191), functional:
-    returns ``(state, info)``."""
-    return f.update(s, u, y, p, t, **kw)
+    returns ``(state, info)``.
+
+    ``p``/``t`` are forwarded as keywords: filter signatures differ in the
+    positions after ``y`` (AuxiliaryParticleFilter takes ``y1`` there), so
+    positional forwarding would silently bind ``p``→``y1``."""
+    return f.update(s, u, y, p=p, t=t, **kw)
 
 
 def predict(f, s, u=None, p=None, t=None, **kw):
-    """Time update (filtering.jl:52-74 / :140-153), functional."""
-    return f.predict(s, u, p, t, **kw)
+    """Time update (filtering.jl:52-74 / :140-153), functional.
+
+    ``p``/``t`` forwarded as keywords (see `update`)."""
+    return f.predict(s, u, p=p, t=t, **kw)
 
 
 def correct(f, s, u, y, p=None, t=None, **kw):
     """Measurement update (filtering.jl:100-128 / :164-174), functional:
-    returns ``(state, info)`` with the reference's ``(ll, e, S, Sᵪ, K)``."""
-    return f.correct(s, u, y, p, t, **kw)
+    returns ``(state, info)`` with the reference's ``(ll, e, S, Sᵪ, K)``.
+
+    ``p``/``t`` forwarded as keywords (see `update`)."""
+    return f.correct(s, u, y, p=p, t=t, **kw)
 
 
 def reset(f, key=None):

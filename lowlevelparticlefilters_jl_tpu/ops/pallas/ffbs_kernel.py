@@ -190,5 +190,9 @@ def ffbs_backward_pallas(xpred, wf, xf, xb_T, chol_dyn, mu, seed):
 
 def ffbs_pallas_supported(df, M: int, N: int, nx: int) -> bool:
     """Static gate: gaussian density, sizes inside the VMEM envelope."""
+    from ..mvnormal import MvNormal
+
+    if not isinstance(df, MvNormal):
+        return False
     Npad = -(-N // 128) * 128
     return nx <= 8 and M * Npad <= (1 << 22) and M >= 8 and N >= 128

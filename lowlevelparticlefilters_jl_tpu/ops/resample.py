@@ -152,7 +152,11 @@ def resample_systematic_gather(x: jax.Array, we: jax.Array, key: jax.Array) -> j
     select (never approximate) particle values.
     """
     N = we.shape[-1]
-    if x.ndim == 2 and N >= _KERNEL_MIN_N and _kernel_fits(N, x.shape[1]):
+    # The kernel computes in f32 (bf16 hi/mid/lo splits cover a 24-bit
+    # mantissa); f64 particles under jax x64 would silently lose
+    # precision, so the bitwise contract gates admission on f32.
+    if (x.ndim == 2 and x.dtype == jnp.float32 and N >= _KERNEL_MIN_N
+            and _kernel_fits(N, x.shape[1])):
         from .pallas.noise import _on_tpu
 
         if _on_tpu():

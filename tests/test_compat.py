@@ -97,3 +97,24 @@ def test_aliases():
     assert llpf.PFstate is llpf.PFState
     from lowlevelparticlefilters_jl_tpu.filters.rbpf import RBState
     assert llpf.RBParticle is RBState
+
+
+def test_apf_keyword_forwarding():
+    """ADVICE-r2 regression: compat verbs must forward p/t as KEYWORDS.
+
+    AuxiliaryParticleFilter.update takes ``y1`` in the position where
+    other filters take ``p`` — positional forwarding silently bound the
+    parameter vector to the next measurement."""
+    apf = llpf.AuxiliaryParticleFilter(pf=_pf())
+    s = llpf.reset(apf, jax.random.PRNGKey(5))
+    u, y = jnp.zeros(1), jnp.array([0.3])
+    p = jnp.array([1.0])  # inert parameter object; must NOT become y1
+    s1, _ = llpf.update(apf, s, u, y, p)
+    # without y1 the APF update is correct-only: t does not advance
+    assert int(s1.t) == int(s.t)
+    # explicit y1 via kwargs reaches predict and advances t
+    s2, _ = llpf.update(apf, s, u, y, p, y1=jnp.array([0.25]))
+    assert int(s2.t) == int(s.t) + 1
+    # predict reaches the APF's y1 through the kwarg passthrough
+    s3 = llpf.predict(apf, s, u, y1=jnp.array([0.25]))
+    assert int(s3.t) == int(s.t) + 1
