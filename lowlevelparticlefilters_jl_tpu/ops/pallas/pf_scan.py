@@ -1,0 +1,369 @@
+"""Pallas TPU kernel: the ENTIRE bootstrap particle-filter scan in one
+Mosaic kernel.
+
+Why: the XLA PF step costs ~23 µs at N=1e5 on v5e (propagate+noise
+12.5 µs, weight+normalize 10 µs — round-2 measurements) even though it
+moves only ~2-3 MB of HBM, i.e. it is fusion-launch-bound ~6x off the
+memory roofline; and the Neff-triggered resample adds an amortized
+~35 µs/step through a separate kernel.  Running the whole T-step
+recursion inside ONE kernel keeps the [N, nx] cloud and the log-weights
+resident in VMEM for the entire trajectory — per-step HBM traffic drops
+to the measurement row.
+
+What runs per step (reference math: /root/reference/src/PFtypes.jl:107-139
+propagation/weighting, src/filtering.jl:140-174 correct/predict order,
+src/resample.jl:5-36 Neff trigger + systematic resampling):
+
+- propagate: traced user dynamics (vmap'd over lanes, per sublane row)
+  + additive Gaussian noise from the hardware PRNG (Box-Muller, exactly
+  the ops/pallas/noise.py construction),
+- weight: traced user measurement, whitened Gaussian log-density,
+  missing-measurement (NaN) skip,
+- normalize: fused max/exp/sum log-sum-exp with the reference's
+  bookkeeping (ops/logsumexp.py::logsumexp_normalize),
+- Neff trigger + systematic resampling via monotone log-shift routing
+  (ops/pallas/resample_route.py) under `lax.cond` — the routing cost is
+  paid only on steps that fire.
+
+Particle layout: one [8, NL] f32 plane per state dimension with index
+``i = l*8 + s`` (the routing layout).  The weight vector is one more
+plane.  VMEM high-water ~ (nx + ~6) planes.
+
+Draw streams: noise, the resampling offset r, and the slot boundaries'
+cumsum associativity all differ from the XLA path (hardware PRNG,
+Hillis-Steele prefix sum), so results differ draw-for-draw while being
+distributionally identical — the same contract as
+``noise_backend='pallas'`` (see smoothing.py FFBS notes).  Off-TPU the
+kernel runs in interpret mode (tests); production falls back to the XLA
+scan via the `pf_scan_supported` gate.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .noise import _on_tpu
+from .resample_route import (
+    _iota_index, _layout_dims, _vmem_need, hs_cummax, hs_cumsum,
+    route_systematic)
+
+_LOG2PI = 1.8378770664093453
+_NEG = -1.0e30
+_TWO_PI = 6.283185307179586
+
+
+def _flatten(fn, nx, nu, p):
+    """Hoist closed-over tracers and literal consts of a user callback
+    into explicit arguments (the ukf_scan.py / noise.py pattern)."""
+    x_ex = jnp.zeros((nx,), jnp.float32)
+    t_ex = jnp.float32(0.0)
+    if nu > 0:
+        u_ex = jnp.zeros((nu,), jnp.float32)
+        args_ex = (x_ex, u_ex, t_ex)
+        wrap = lambda x, u, tk: fn(x, u, p, tk)
+    else:
+        args_ex = (x_ex, t_ex)
+        wrap = lambda x, tk: fn(x, jnp.zeros((0,), jnp.float32), p, tk)
+    cc, tracer_consts = jax.closure_convert(wrap, *args_ex)
+    closed = jax.make_jaxpr(cc)(*args_ex, *tracer_consts)
+    lits = [jnp.asarray(c) for c in closed.consts]
+    consts = [*lits, *tracer_consts]
+    n_lit = len(lits)
+
+    def flat(x, u, tk, *cs):
+        args = (x, u, tk) if nu > 0 else (x, tk)
+        (out,) = jax.core.eval_jaxpr(closed.jaxpr, cs[:n_lit], *args,
+                                     *cs[n_lit:])
+        return out
+
+    return flat, consts
+
+
+def pf_scan_supported(pf) -> bool:
+    """Static admission: bootstrap ParticleFilter, Gaussian densities,
+    systematic resampling, small state/measurement dims, cloud planes
+    inside the VMEM envelope."""
+    from ...filters.particle import ParticleFilter
+    from ...ops.mvnormal import MvNormal
+
+    if type(pf) is not ParticleFilter:
+        return False
+    if pf.resampling_strategy != "systematic":
+        return False
+    for d in (pf.dynamics_density, pf.measurement_density,
+              pf.initial_density):
+        if not isinstance(d, MvNormal):
+            return False
+    nx = pf.nx
+    # routing high-water plus the persistent cloud/weight planes and the
+    # blocked input sequences; v5e VMEM is 128M (see resample_route.py)
+    vmem = _vmem_need(pf.N, nx) + (16 << 20)
+    return nx <= 8 and vmem <= (100 << 20)
+
+
+def pf_loglik_fused(pf, u, y, seed, x0: Optional[jax.Array] = None,
+                    force_kernel: bool = False):
+    """Total bootstrap-PF log-likelihood of ``y`` — one fused kernel.
+
+    Semantics match ``pf.loglik(u, y, key=...)`` distributionally (same
+    correct-then-predict order, same Neff-trigger rule, systematic
+    resampling) with hardware-PRNG draw streams.  ``seed``: int32 scalar.
+    ``x0``: optional pre-drawn initial particles [N, nx] (default: drawn
+    in-kernel from ``d0``).
+
+    Returns ``(ll, n_resamples)``.  Off-TPU falls back to the XLA scan
+    unless ``force_kernel`` (tests) — interpret mode has no hardware
+    PRNG, so forced runs use zero noise / r=0.5 (exact MAP semantics the
+    CPU tests compare against a zero-noise XLA oracle).
+    """
+    if not pf_scan_supported(pf):
+        raise ValueError("pf_loglik_fused: unsupported filter config "
+                         "(see pf_scan_supported)")
+    if not _on_tpu() and not force_kernel:
+        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
+        return pf.loglik(u, y, key=key), jnp.float32(jnp.nan)
+
+    y = jnp.asarray(y, jnp.float32)
+    T, ny = y.shape
+    N, nx = pf.N, pf.nx
+    NL, Npad = _layout_dims(N)
+    NB = max(1, (Npad - 1).bit_length())
+    Ts = float(pf.Ts)
+    thresh = float(pf.resample_threshold)
+
+    L1 = jnp.asarray(pf.dynamics_density.chol(), jnp.float32)
+    mu1 = jnp.asarray(pf.dynamics_density.mean, jnp.float32).reshape(1, nx)
+    R2 = jnp.asarray(pf.measurement_density.cov, jnp.float32)
+    L2 = jnp.linalg.cholesky(R2)
+    L2inv = jax.scipy.linalg.solve_triangular(
+        L2, jnp.eye(ny, dtype=jnp.float32), lower=True)
+    mu2 = jnp.asarray(pf.measurement_density.mean, jnp.float32).reshape(1, ny)
+    cst = -0.5 * (ny * _LOG2PI) - jnp.sum(jnp.log(jnp.diagonal(L2)))
+    L0 = jnp.asarray(pf.initial_density.chol(), jnp.float32)
+    mu0 = jnp.asarray(pf.initial_density.mean, jnp.float32).reshape(1, nx)
+
+    # time-blocked inputs (ukf_scan.py pattern): [TB, n, 128]
+    LB = 128
+    TB = -(-T // LB)
+    Tpad = TB * LB
+
+    def _blocked(a, n):
+        ap = jnp.pad(a, ((0, Tpad - T), (0, 0)))
+        return ap.T.reshape(n, TB, LB).transpose(1, 0, 2)
+
+    ysb = _blocked(y, ny)
+    if u is None:
+        usb = jnp.zeros((TB, 1, LB), jnp.float32)
+        nu = 0
+    else:
+        us = jnp.asarray(u, jnp.float32)
+        us = jnp.broadcast_to(us, (T,) + us.shape[1:]) if us.ndim == 2 \
+            else jnp.tile(us.reshape(1, -1), (T, 1))
+        nu = us.shape[1]
+        usb = _blocked(us, nu) if nu > 0 else jnp.zeros((TB, 1, LB),
+                                                        jnp.float32)
+
+    f_flat, f_consts = _flatten(pf.dynamics, nx, nu, pf.p)
+    g_flat, g_consts = _flatten(pf.measurement, nx, nu, pf.p)
+    nf, ng = len(f_consts), len(g_consts)
+
+    if x0 is None:
+        x0p = jnp.zeros((nx, 8, NL), jnp.float32)
+        has_x0 = False
+    else:
+        from .resample_route import _to_planes
+
+        x0 = jnp.asarray(x0, jnp.float32)
+        x0p = jnp.stack([_to_planes(x0[:, d], N, NL) for d in range(nx)])
+        has_x0 = True
+
+    kernel = functools.partial(
+        _pf_kernel, T=T, TB=TB, LB=LB, N=N, NL=NL, NB=NB, nx=nx, ny=ny,
+        nu=nu, Ts=Ts, thresh=thresh, nf=nf, ng=ng, f_flat=f_flat,
+        g_flat=g_flat, use_prng=_on_tpu(), has_x0=has_x0)
+    consts = [jnp.asarray(c) for c in [*f_consts, *g_consts]]
+    with jax.default_matmul_precision("highest"):
+        ll, nresamp = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (9 + len(consts)),
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=max(32 << 20,
+                                     _vmem_need(N, nx) + (16 << 20))),
+            interpret=pltpu.InterpretParams() if not _on_tpu() else False,
+        )(jnp.asarray(seed, jnp.int32).reshape(1), ysb, usb, L1, mu1,
+          L2inv, mu2, L0, mu0, x0p, *consts)
+    return ll[0, 0], nresamp[0, 0]
+
+
+def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
+               mu2_ref, L0_ref, mu0_ref, x0_ref, *rest, T, TB, LB, N, NL,
+               NB, nx, ny, nu, Ts, thresh, nf, ng, f_flat, g_flat,
+               use_prng, has_x0):
+    const_refs = rest[:nf + ng]
+    ll_ref, nres_ref = rest[nf + ng:]
+    fcs = [c[:] for c in const_refs[:nf]]
+    gcs = [c[:] for c in const_refs[nf:]]
+    L1 = L1_ref[...]
+    mu1 = mu1_ref[...]
+    L2i = L2i_ref[...]
+    mu2 = mu2_ref[...]
+    L0 = L0_ref[...]
+    mu0 = mu0_ref[...]
+    cst = -0.5 * (ny * _LOG2PI) + jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(L2i))))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LB), 1)
+    idx = _iota_index(NL)
+    pad = idx >= N
+    logN = jnp.log(jnp.float32(N))
+
+    def _normals(shape):
+        if use_prng:
+            b1 = pltpu.prng_random_bits(shape)
+            b2 = pltpu.prng_random_bits(shape)
+            u1 = (b1.astype(jnp.float32) + 2147483648.0 + 1.0) / 4294967297.0
+            u2 = (b2.astype(jnp.float32) + 2147483648.0) / 4294967296.0
+            return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+        return jnp.zeros(shape, jnp.float32)
+
+    def _uniform_scalar():
+        if use_prng:
+            b = pltpu.prng_random_bits((8, 128))
+            u = (b.astype(jnp.float32) + 2147483648.0 + 1.0) / 4294967297.0
+            return u[0, 0]
+        return jnp.float32(0.5)
+
+    # ---- init: x ~ d0 (filtering.jl:4-14), uniform weights ----------
+    if has_x0:
+        planes = [x0_ref[d] for d in range(nx)]
+    else:
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0], -1)
+        planes = []
+        zs = [_normals((8, NL)) for _ in range(nx)]
+        for d in range(nx):
+            acc = jnp.zeros((8, NL), jnp.float32) + mu0[0, d]
+            for e in range(nx):
+                acc = acc + L0[d, e] * zs[e]
+            planes.append(acc)
+    w = jnp.where(pad, _NEG, -logN)
+
+    def step_in_block(yblk, ublk, t, carry):
+        *planes, w, ll2, nres2 = carry
+        s = t % LB
+        tk = t.astype(jnp.float32) * Ts
+        maskf = (lane == s).astype(jnp.float32)
+        y2 = (yblk @ maskf.T).T          # [1, ny]
+        uvec = (ublk @ maskf.T)[:, 0] if nu > 0 else None
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0], t)
+
+        Fv = jax.vmap(lambda xi: f_flat(xi, uvec, tk, *fcs),
+                      in_axes=1, out_axes=1)
+        Gv = jax.vmap(lambda xi: g_flat(xi, uvec, tk, *gcs),
+                      in_axes=1, out_axes=1)
+
+        # ---- correct: weight the CURRENT cloud (filtering.jl:164-174,
+        # correct-then-predict order of filtering.jl:181-191) ----------
+        logp_rows = [None] * 8
+        for srow in range(8):
+            xmat = jnp.concatenate(
+                [p[srow:srow + 1, :] for p in planes], axis=0)  # [nx, NL]
+            yh = Gv(xmat)                                    # [ny, NL]
+            quad = jnp.zeros((1, NL), jnp.float32)
+            for d in range(ny):
+                zrow = jnp.zeros((1, NL), jnp.float32)
+                for e in range(d + 1):                       # L2i lower-tri
+                    r_e = (y2[0, e] - mu2[0, e]) - yh[e:e + 1, :]
+                    zrow = zrow + L2i[d, e] * r_e
+                quad = quad + zrow * zrow
+            logp_rows[srow] = cst - 0.5 * quad
+        logp = jnp.concatenate(logp_rows, axis=0)            # [8, NL]
+
+        # missing measurement: skip the weight update (PFtypes.jl:109)
+        missing = jnp.any(jnp.isnan(y2))
+        w1 = jnp.where(pad, _NEG, w + jnp.where(missing, 0.0, logp))
+
+        # ---- normalize (ops/logsumexp.py bookkeeping) ---------------
+        m = jnp.max(w1)
+        weu = jnp.where(pad, 0.0, jnp.exp(w1 - m))
+        ssum = jnp.sum(weu)
+        ll_t = jnp.where(missing, 0.0, m + jnp.log(ssum))
+        w2 = w1 - (m + jnp.log(ssum))
+        we = weu / ssum
+
+        # ---- Neff trigger + systematic resample (resample.jl:5-36) --
+        neff = 1.0 / jnp.sum(we * we)
+        do = neff < jnp.float32(thresh * N) if thresh < 1.0 else (
+            jnp.asarray(True))
+
+        def _resample(ops):
+            planes, we = ops
+            cum = hs_cumsum(we, NB, NL)
+            tot = jnp.sum(we)
+            r = _uniform_scalar()
+            K = jnp.ceil(cum * (jnp.float32(N) / tot) - r)
+            K = jnp.clip(K, 0.0, jnp.float32(N)).astype(jnp.int32)
+            # Hillis-Steele f32 cumsum is not monotone under rounding;
+            # routing needs sorted K (see _systematic_slots rationale)
+            K = hs_cummax(K, NB, NL)
+            K = jnp.where(pad, jnp.int32(N), K)
+            routed = route_systematic(list(planes), K, N, NL)
+            return tuple(routed), jnp.where(pad, _NEG, -logN), True
+
+        def _keep(ops):
+            planes, _ = ops
+            return tuple(planes), w2, False
+
+        planes, w3, fired = jax.lax.cond(do, _resample, _keep,
+                                         (tuple(planes), we))
+
+        # ---- predict: propagate + noise (PFtypes.jl:122-139) --------
+        zs = [_normals((8, NL)) for _ in range(nx)]
+        new_rows = [[None] * 8 for _ in range(nx)]
+        for srow in range(8):
+            xmat = jnp.concatenate(
+                [p[srow:srow + 1, :] for p in planes], axis=0)
+            xn = Fv(xmat)
+            for d in range(nx):
+                acc = xn[d:d + 1, :] + mu1[0, d]
+                for e in range(nx):
+                    acc = acc + L1[d, e] * zs[e][srow:srow + 1, :]
+                new_rows[d][srow] = acc
+        planes = [jnp.concatenate(new_rows[d], axis=0) for d in range(nx)]
+
+        valid_t = t < T
+        out_planes = [jnp.where(valid_t, pn, po)
+                      for pn, po in zip(planes, carry[:nx])]
+        w_out = jnp.where(valid_t, w3, w)
+        return (*out_planes, w_out,
+                ll2 + jnp.where(valid_t, ll_t, 0.0),
+                nres2 + jnp.where(valid_t & fired, 1.0, 0.0))
+
+    def block(b, carry):
+        yblk = ysb_ref[b]
+        ublk = usb_ref[b]
+
+        def inner(s, c):
+            return step_in_block(yblk, ublk, b * LB + s, c)
+
+        return jax.lax.fori_loop(0, LB, inner, carry)
+
+    init = (*planes, w, jnp.zeros((1, 1), jnp.float32),
+            jnp.zeros((1, 1), jnp.float32))
+    out = jax.lax.fori_loop(0, TB, block, init)
+    ll_ref[0, 0] = out[nx + 1][0, 0]
+    nres_ref[0, 0] = out[nx + 2][0, 0]

@@ -33,11 +33,22 @@ def _systematic_slots(we: jax.Array, key: jax.Array, M: int) -> jax.Array:
     ~10 ms at N=1e5 on TPU, while this closed form is a cumsum + a
     scatter (~1 µs).  Ties at CDF boundaries may resolve one index off
     from a literal searchsorted (fp rounding); both are valid samplers.
+
+    K is forced non-decreasing with a running max: XLA's log-depth f32
+    cumsum is NOT monotone under rounding (adjacent prefixes use
+    different tree groupings), and with heavily skewed weights at
+    N >= 1e4 the raw K dips by 1 in places.  Every downstream
+    formulation (count matmul, scatter histogram, the pallas
+    routing/window kernels) assumes sorted K — a dip silently breaks
+    their mutual bitwise equality (measured: ~10 mismatched slots at
+    N=1e5, we ~ U^20).  The cummax repairs the artifact; the
+    exact-arithmetic sampler is unchanged.
     """
     bins = jnp.cumsum(we, axis=-1)
     total = bins[..., -1]
     r = jax.random.uniform(key, (), dtype=we.dtype)
     K = jnp.ceil(bins * M / total - r).astype(jnp.int32)
+    K = jax.lax.cummax(K, axis=K.ndim - 1)
     return jnp.clip(K, 0, M)
 
 

@@ -13,4 +13,5 @@ from .temporal import (
     parallel_forward_trajectory,
     parallel_rts_smooth,
     parallel_iekf_smooth,
+    parallel_ukf_smooth,
 )

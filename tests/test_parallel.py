@@ -256,38 +256,6 @@ class TestTemporalParallel:
         np.testing.assert_allclose(g_par, g_seq, rtol=1e-8)
 
 
-class TestPallasResampleKernel:
-    """The experimental in-VMEM resample kernel: interpret-mode semantics
-    match the XLA counting-sort oracle up to fp CDF ties (the kernel is
-    not wired into filters; see its module docstring for hardware status)."""
-
-    def test_interpret_matches_oracle(self):
-        from lowlevelparticlefilters_jl_tpu.ops.pallas.resample_kernel import (
-            pallas_resample_gather, _xla_reference,
-        )
-        for N in (16384, 50_000):
-            we = jax.random.uniform(jax.random.PRNGKey(0), (N,))
-            we = (we / we.sum()).astype(jnp.float32)
-            x = jax.random.normal(jax.random.PRNGKey(1), (N, 2), jnp.float32)
-            ref = np.asarray(_xla_reference(x, we, 0.37))
-            out = np.asarray(pallas_resample_gather(x, we, 0.37, force_kernel=True))
-            frac_off = (np.abs(out - ref).max(axis=1) > 1e-5).mean()
-            assert frac_off < 0.01, frac_off  # fp-tie level only
-
-    def test_default_path_is_exact(self):
-        from lowlevelparticlefilters_jl_tpu.ops.pallas.resample_kernel import (
-            pallas_resample_gather, _xla_reference,
-        )
-        N = 4096
-        we = jax.random.uniform(jax.random.PRNGKey(2), (N,))
-        we = (we / we.sum()).astype(jnp.float32)
-        x = jax.random.normal(jax.random.PRNGKey(3), (N, 3), jnp.float32)
-        np.testing.assert_allclose(
-            np.asarray(pallas_resample_gather(x, we, 0.5)),
-            np.asarray(_xla_reference(x, we, 0.5)),
-        )
-
-
 class TestShardedEnKF:
     def test_matches_kf_oracle(self, system):
         """Mesh-sharded EnKF loglik ≈ exact KF on the linear system."""
@@ -503,3 +471,54 @@ class TestDistributedResample:
         x_d, _, _, _ = self._run("_resample_distributed", st, pf, mesh)
         x_g, _, _, _ = self._run("_resample_global", st, pf, mesh)
         np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_g), atol=1e-12)
+
+
+class TestParallelSigmaPointSmoother:
+    """O(log T) iterated posterior-linearization (sigma-point) smoother
+    (parallel/temporal.py::parallel_ukf_smooth) — the UKF analogue of
+    parallel_iekf_smooth (Garcia-Fernandez/Sarmavuori/Sarkka)."""
+
+    def test_linear_equals_rts(self, system):
+        """SLR of an affine model is exact, so one pass must reproduce
+        the KF/RTS smoother to fp tolerance."""
+        A, B, C, R1, R2 = system
+        kf = llpf.KalmanFilter(A, B, C, 0, R1, R2)
+        T = 60
+        _, us, ys = llpf.simulate(kf, 0.3 * jnp.ones((T, 1), jnp.float32),
+                                  jax.random.PRNGKey(0))
+        ukf = llpf.make_ukf(lambda x, u, p, t: A @ x + B @ u,
+                            lambda x, u, p, t: C @ x, R1, R2, ny=2, nu=1)
+        ssol = llpf.smooth(kf, us, ys)
+        psol = llpf.parallel_ukf_smooth(ukf, us, ys, iters=3)
+        np.testing.assert_allclose(np.asarray(psol.xT), np.asarray(ssol.xT),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(psol.RT), np.asarray(ssol.RT),
+                                   atol=1e-4)
+
+    def test_nonlinear_matches_sequential_unscented_rts(self):
+        """Quadtank-style square-root outflow dynamics: the parallel
+        sigma-point smoother agrees with the sequential unscented RTS
+        (ukf.jl:862-925 counterpart) to linearization tolerance."""
+        g1 = lambda x: jnp.sqrt(jnp.abs(x) + 0.1)
+
+        def dyn(x, u, p, t):
+            return x + 0.1 * jnp.array(
+                [-g1(x[0]) + 0.5 * g1(x[1]) + 0.2 * u[0],
+                 -0.5 * g1(x[1]) + 0.1 * u[0]])
+
+        def meas(x, u, p, t):
+            return x
+
+        ukf = llpf.make_ukf(dyn, meas, 0.001 * jnp.eye(2), 0.01 * jnp.eye(2),
+                            ny=2, nu=1,
+                            d0=llpf.MvNormal(jnp.array([1.0, 1.0]),
+                                             0.1 * jnp.eye(2)))
+        T = 40
+        us = 0.5 + 0.2 * jnp.sin(0.1 * jnp.arange(T)).reshape(-1, 1)
+        _, _, ys = llpf.simulate(ukf, us, jax.random.PRNGKey(2))
+        seq = ukf.smooth(us, ys)
+        par = llpf.parallel_ukf_smooth(ukf, us, ys, iters=8)
+        rmse = float(jnp.sqrt(jnp.mean((par.xT - seq.xT) ** 2)))
+        scale = float(jnp.sqrt(jnp.mean(seq.xT ** 2)))
+        assert rmse < 0.02 * scale, (rmse, scale)
+        assert bool(par.sol.ok.all())

@@ -1,0 +1,121 @@
+"""Whole-scan fused particle filter (ops/pallas/pf_scan.py).
+
+Interpret-mode (CPU) runs use zero noise and r=0.5, which makes the
+kernel DETERMINISTIC — so against a zero-process-noise XLA oracle with
+shared initial particles the no-resample path must agree to fp
+tolerance, and resampling paths to resample-draw tolerance.  Hardware
+statistical equivalence is certified in bench.py (kernels_verified).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lowlevelparticlefilters_jl_tpu as llpf
+from lowlevelparticlefilters_jl_tpu.filters.particle import (
+    PFState, _uniform_weights)
+from lowlevelparticlefilters_jl_tpu.ops.pallas.pf_scan import (
+    pf_loglik_fused, pf_scan_supported)
+
+A = jnp.array([[0.97, -0.1], [0.1, 0.97]], jnp.float32)
+B = jnp.array([[0.1], [0.0]], jnp.float32)
+C = jnp.eye(2, dtype=jnp.float32)
+R1z = 1e-12 * jnp.eye(2, dtype=jnp.float32)
+R2 = 0.1 * jnp.eye(2, dtype=jnp.float32)
+N = 512
+
+
+def _pf(th, R1=R1z):
+    return llpf.ParticleFilter(
+        N=N, dynamics=lambda x, u, p, t: A @ x + B @ u,
+        measurement=lambda x, u, p, t: C @ x, dynamics_density=R1,
+        measurement_density=R2,
+        initial_density=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)),
+        resample_threshold=th)
+
+
+def _shared_state(key=7):
+    x0 = llpf.MvNormal(jnp.zeros(2), jnp.eye(2)).sample(
+        jax.random.PRNGKey(key), (N,))
+    # match the suite's x64 default so the XLA-path scan carry is stable
+    w0, we0 = _uniform_weights(N, x0.dtype)
+    s0 = PFState(x=x0, w=w0, we=we0, t=jnp.asarray(0, jnp.int32),
+                 key=jax.random.PRNGKey(0))
+    return x0, s0
+
+
+def _data(T, seed=1):
+    us = 0.3 * jnp.ones((T, 1), jnp.float32)
+    ys = jax.random.normal(jax.random.PRNGKey(seed), (T, 2), jnp.float32)
+    return us, ys
+
+
+@pytest.mark.parametrize("T", [1, 12, 140])
+def test_no_resample_matches_xla_exactly(T):
+    """Zero noise + threshold 0 (never fires): identical math to the XLA
+    scan up to fp associativity (incl. T > 128 crossing a lane block)."""
+    pf = _pf(0.0)
+    x0, s0 = _shared_state()
+    us, ys = _data(T)
+    ll_xla = float(pf.loglik(us, ys, state0=s0))
+    ll_f, nres = pf_loglik_fused(pf, us, ys, 0, x0=x0, force_kernel=True)
+    np.testing.assert_allclose(float(ll_f), ll_xla, rtol=1e-5)
+    assert float(nres) == 0.0
+
+
+def test_always_resample_deterministic_weights():
+    """State-independent measurement -> exactly equal weights -> the
+    systematic selection is the identity for ANY offset r, so the fused
+    path (r=0.5) and the XLA path (r from the key) must agree exactly —
+    this pins the in-scan routing incl. weight resets."""
+    pf = llpf.ParticleFilter(
+        N=N, dynamics=lambda x, u, p, t: A @ x + B @ u,
+        measurement=lambda x, u, p, t: 0.0 * x, dynamics_density=R1z,
+        measurement_density=R2,
+        initial_density=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)),
+        resample_threshold=1.0)
+    x0, s0 = _shared_state()
+    us, ys = _data(12)
+    ll_xla = float(pf.loglik(us, ys, state0=s0))
+    ll_f, nres = pf_loglik_fused(pf, us, ys, 0, x0=x0, force_kernel=True)
+    assert float(nres) == 12.0
+    np.testing.assert_allclose(float(ll_f), ll_xla, rtol=1e-5)
+
+
+def test_neff_trigger_fires():
+    """Zero-noise + resampling makes the trajectory r-draw sensitive
+    (impoverishment), so only the trigger behavior is asserted here; the
+    statistical ll equivalence is certified on hardware in bench.py."""
+    pf = _pf(0.5)
+    x0, s0 = _shared_state()
+    us, ys = _data(30)
+    ll_f, nres = pf_loglik_fused(pf, us, ys, 0, x0=x0, force_kernel=True)
+    assert 1 <= float(nres) <= 29
+    assert np.isfinite(float(ll_f))
+
+
+def test_missing_measurement_skips_update():
+    """NaN measurements contribute zero log-likelihood (PFtypes.jl:109)."""
+    pf = _pf(0.0)
+    x0, _ = _shared_state()
+    us, ys = _data(6)
+    ys = ys.at[3].set(jnp.nan)
+    ll_f, _ = pf_loglik_fused(pf, us, ys, 0, x0=x0, force_kernel=True)
+    ys2 = jnp.concatenate([ys[:3], ys[4:]])
+    us2 = jnp.concatenate([us[:3], us[4:]])
+    # removing the NaN step changes propagation, so just check finiteness
+    # and that the NaN did not poison the total
+    assert np.isfinite(float(ll_f))
+
+
+def test_supported_gate():
+    assert pf_scan_supported(_pf(0.1))
+    apf = llpf.AuxiliaryParticleFilter(pf=_pf(0.1))
+    assert not pf_scan_supported(apf)
+    pf_res = llpf.ParticleFilter(
+        N=N, dynamics=lambda x, u, p, t: A @ x,
+        measurement=lambda x, u, p, t: C @ x, dynamics_density=R1z,
+        measurement_density=R2,
+        initial_density=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)),
+        resampling_strategy="stratified")
+    assert not pf_scan_supported(pf_res)
