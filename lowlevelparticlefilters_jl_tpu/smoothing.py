@@ -170,8 +170,8 @@ def ffbs_smooth(pf, sol, M: int, key: jax.Array, u=None, y=None, p=None,
         if backend == "pallas" and not ok:
             raise ValueError(
                 "ffbs backend='pallas' requires a TPU backend, Gaussian "
-                f"dynamics noise, nx <= 8, M >= 8, N >= 128 and M*Npad <= "
-                f"2^22 (got M={M}, N={N}, nx={nx}, "
+                f"dynamics noise, nx <= 8, 8 <= M <= 4096 and "
+                f"128 <= N <= 2^18 (got M={M}, N={N}, nx={nx}, "
                 f"tpu={_on_tpu()})")
         if ok:
             tvec = jnp.arange(T - 1) * Ts

@@ -522,3 +522,122 @@ class TestParallelSigmaPointSmoother:
         scale = float(jnp.sqrt(jnp.mean(seq.xT ** 2)))
         assert rmse < 0.02 * scale, (rmse, scale)
         assert bool(par.sol.ok.all())
+
+
+class TestShardedAPF:
+    def test_matches_oracles(self, system):
+        """Sharded auxiliary-PF loglik ≈ exact KF loglik AND the
+        single-device APF estimate (cross-filter oracle pattern,
+        runtests.jl:332-382).  T kept small: each
+        ``sharded_apf_update`` call traces its own shard_map."""
+        from lowlevelparticlefilters_jl_tpu.parallel import (
+            sharded_apf_update, shard_pf_state)
+
+        A, B, C, R1, R2 = system
+        pf = llpf.ParticleFilter(
+            N=8192,
+            dynamics=lambda x, u, p, t: A @ x + B @ u,
+            measurement=lambda x, u, p, t: C @ x,
+            dynamics_density=R1,
+            measurement_density=R2,
+            initial_density=R1,
+        )
+        apf = llpf.AuxiliaryParticleFilter(pf=pf)
+        kf = llpf.KalmanFilter(A, B, C, 0, R1, R2)
+        T = 12
+        _, us, ys = llpf.simulate(kf, 0.3 * jnp.ones((T, 1)),
+                                  jax.random.PRNGKey(0))
+        mesh = particle_mesh(8)
+        st = shard_pf_state(pf.init(jax.random.PRNGKey(1)), mesh)
+        ll = 0.0
+        for k in range(T):
+            y1 = ys[k + 1] if k + 1 < T else None
+            st, info = sharded_apf_update(apf, st, us[k], ys[k], y1=y1,
+                                          mesh=mesh)
+            ll += float(info.ll)
+        # primary oracle: the single-device APF (identical estimator);
+        # the KF bound is loose — the APF ll estimator differs from the
+        # exact likelihood at short T (matches the unsharded behavior).
+        sol = apf.forward_trajectory(us, ys, key=jax.random.PRNGKey(2))
+        assert abs(ll - float(sol.ll)) < 0.1, (ll, float(sol.ll))
+        ll_kf = float(llpf.loglik(kf, us, ys))
+        assert abs(ll - ll_kf) < 0.25 * abs(ll_kf), (ll, ll_kf)
+
+
+class TestShardedFFBS:
+    def test_mean_matches_rts(self, system):
+        """Sharded FFBS trajectory mean ≈ RTS smoothed mean on the
+        linear-Gaussian system (smoothing.jl FFBS consistency)."""
+        from lowlevelparticlefilters_jl_tpu.parallel import sharded_ffbs_smooth
+
+        A, B, C, R1, R2 = system
+        pf = llpf.ParticleFilter(
+            N=4096,
+            dynamics=lambda x, u, p, t: A @ x + B @ u,
+            measurement=lambda x, u, p, t: C @ x,
+            dynamics_density=R1,
+            measurement_density=R2,
+            initial_density=R1,
+        )
+        kf = llpf.KalmanFilter(A, B, C, 0, R1, R2)
+        T = 40
+        _, us, ys = llpf.simulate(kf, 0.3 * jnp.ones((T, 1)),
+                                  jax.random.PRNGKey(0))
+        mesh = particle_mesh(8)
+        xb, ll = sharded_ffbs_smooth(pf, us, ys, M=400,
+                                     key=jax.random.PRNGKey(1), mesh=mesh)
+        assert xb.shape == (T, 400, 2)
+        ss = llpf.smooth(kf, us, ys)
+        err = np.abs(np.asarray(xb.mean(axis=1)) - np.asarray(ss.xT)).max()
+        assert err < 0.2, err
+        ll_kf = float(llpf.loglik(kf, us, ys))
+        assert abs(float(ll) - ll_kf) < 0.05 * abs(ll_kf)
+
+    def test_selections_are_forward_particles(self, system):
+        from lowlevelparticlefilters_jl_tpu.parallel import (
+            sharded_ffbs_smooth, sharded_forward_trajectory)
+
+        A, B, C, R1, R2 = system
+        pf = llpf.ParticleFilter(
+            N=1024,
+            dynamics=lambda x, u, p, t: A @ x + B @ u,
+            measurement=lambda x, u, p, t: C @ x,
+            dynamics_density=R1,
+            measurement_density=R2,
+            initial_density=R1,
+        )
+        kf = llpf.KalmanFilter(A, B, C, 0, R1, R2)
+        _, us, ys = llpf.simulate(kf, 0.3 * jnp.ones((10, 1)),
+                                  jax.random.PRNGKey(3))
+        mesh = particle_mesh(8)
+        # same key → the forward pass inside sharded_ffbs_smooth is
+        # reproducible here
+        key = jax.random.PRNGKey(7)
+        xb, _ = sharded_ffbs_smooth(pf, us, ys, M=64, key=key, mesh=mesh)
+        kf_, _ = jax.random.split(jax.random.fold_in(key, 1))
+        xs, _, _, _ = sharded_forward_trajectory(pf, us, ys, kf_, mesh)
+        xs = np.asarray(xs)
+        for t in (0, 4, 8):
+            cloud = xs[t]
+            hit = (np.asarray(xb[t])[:, None, :] == cloud[None, :, :]
+                   ).all(-1).any(-1)
+            assert hit.all(), t
+
+
+class TestMeshMetropolis:
+    def test_mesh_equals_vmap(self):
+        """Chains placed on the mesh are bitwise the vmap chains (pure
+        placement, no communication)."""
+        from lowlevelparticlefilters_jl_tpu.paramest import metropolis_parallel
+
+        def ll(th):
+            return -0.5 * jnp.sum((th - 1.5) ** 2)
+
+        theta0 = 0.5 * jnp.ones(2)
+        key = jax.random.PRNGKey(0)
+        out_v = metropolis_parallel(10, ll, 60, theta0, key=key, n_chains=8)
+        mesh = particle_mesh(8, axis_name="chains")
+        out_m = metropolis_parallel(10, ll, 60, theta0, key=key, n_chains=8,
+                                    mesh=mesh)
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_v),
+                                   rtol=1e-6)
