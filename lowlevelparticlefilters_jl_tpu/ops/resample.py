@@ -166,15 +166,26 @@ def resample_systematic_gather(x: jax.Array, we: jax.Array, key: jax.Array) -> j
     # The kernel computes in f32 (bf16 hi/mid/lo splits cover a 24-bit
     # mantissa); f64 particles under jax x64 would silently lose
     # precision, so the bitwise contract gates admission on f32.
-    if (x.ndim == 2 and x.dtype == jnp.float32 and N >= _KERNEL_MIN_N
-            and _kernel_fits(N, x.shape[1])):
+    if x.ndim == 2 and x.dtype == jnp.float32 and N >= _KERNEL_MIN_N:
         from .pallas.noise import _on_tpu
 
-        if _on_tpu():
+        if _on_tpu() and _kernel_fits(N, x.shape[1]):
             from .pallas.resample_v2 import fused_systematic_gather
 
             out, _ = fused_systematic_gather(x, we, key)
             return out.astype(x.dtype)
+        # Past the windowed kernel's VMEM envelope (N ≳ 3e5 at nx=4) the
+        # XLA alternatives are at their worst (scatter histogram ≈ 8.8 ms
+        # at N=1e6) — route through the monotone log-shift kernel
+        # (ops/pallas/resample_route.py, also bitwise exact; measured
+        # 2.7 ms at N=1e6/nx=2 on v5e).  nx ≤ 4 mirrors the v2 crossover
+        # pending wider-state measurements (nx=8 thrashes VMEM).
+        from .pallas.resample_route import (
+            fused_systematic_gather_route, route_kernel_fits)
+
+        if (_on_tpu() and x.shape[1] <= 4
+                and route_kernel_fits(N, x.shape[1])):
+            return fused_systematic_gather_route(x, we, key)
     j = resample_systematic(we, key)
     return jnp.take(x, j, axis=0)
 

@@ -293,10 +293,58 @@ def debugplot(pf, sol, *, steps=None, dim: int = 0, xreal=None):
 def commandplot(pf, sol, **kwargs):
     """Frame generator stepping through `debugplot` panels one step at a
     time — the non-interactive analogue of the reference's key-driven
-    stepper (PlotsExt.jl:66-102).  Iterate to obtain figures."""
+    stepper (PlotsExt.jl:66-102).  Iterate to obtain figures.  For a
+    live key-driven session use :func:`commandplot_interactive`."""
     T = np.asarray(sol.x).shape[0]
     for k in range(T):
         yield debugplot(pf, sol, steps=[k], **kwargs)
+
+
+def commandplot_interactive(pf, sol, *, dim: int = 0, xreal=None):
+    """Key-driven particle-cloud stepper — the interactive counterpart of
+    the reference's commandplot (PlotsExt.jl:66-102: 'q' quits, any other
+    input advances; here ←/'p' also steps back and 'q' closes).
+
+    Binds matplotlib key events and redraws one `debugplot`-style panel
+    in place.  Returns ``(fig, step_fn)`` — ``step_fn(delta)`` is the
+    same redraw the key handler uses, so headless environments (and the
+    tests) can drive the session programmatically.
+    """
+    plt = _plt()
+    import jax.numpy as jnp
+    from ..ops.logsumexp import effective_particles
+
+    x = np.asarray(sol.x)
+    we = np.asarray(sol.we)
+    T = x.shape[0]
+    fig, ax = plt.subplots(figsize=(8, 3))
+    state = {"k": 0}
+
+    def step_fn(delta: int = 1):
+        state["k"] = int(np.clip(state["k"] + delta, 0, T - 1))
+        k = state["k"]
+        ax.clear()
+        grid, dens = kde(jnp.asarray(x[k, :, dim]), jnp.asarray(we[k]))
+        neff = float(effective_particles(jnp.asarray(we[k])))
+        ax.fill_between(np.asarray(grid), np.asarray(dens), alpha=0.4)
+        if xreal is not None:
+            ax.axvline(np.asarray(xreal)[k, dim], c="k", ls="--")
+        ax.set_title(f"t={k}/{T - 1}  Neff={neff:.0f}   "
+                     "[→/n: forward, ←/p: back, q: quit]", fontsize=9)
+        fig.canvas.draw_idle()
+        return fig
+
+    def _on_key(event):
+        if event.key in ("q", "escape"):
+            plt.close(fig)
+        elif event.key in ("left", "p"):
+            step_fn(-1)
+        else:  # any other key advances (reference semantics)
+            step_fn(+1)
+
+    fig.canvas.mpl_connect("key_press_event", _on_key)
+    step_fn(0)
+    return fig, step_fn
 
 
 def sampleplot(f, u, key, n_runs: int = 10, p=None, dims=None, ax=None):

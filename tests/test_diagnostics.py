@@ -222,6 +222,15 @@ class TestPlotting:
         assert len(fig2.axes) >= 1
         frames = llpf.plotting.commandplot(pf, sol)
         next(frames)  # one frame renders
+        # interactive stepper: drive via the returned step_fn (headless)
+        figi, step = llpf.plotting.commandplot_interactive(pf, sol,
+                                                           xreal=xs[:40])
+        step(+1)
+        step(+1)
+        step(-1)
+        assert "t=1/" in figi.axes[0].get_title()
+        step(-5)  # clamps at 0
+        assert "t=0/" in figi.axes[0].get_title()
         # weighted-KDE marginal recipe (plotting.jl:49-60 densityplot)
         ax = llpf.plotting.densityplot(sol.x[-1, :, 0], sol.we[-1])
         assert ax is not None
