@@ -107,7 +107,8 @@ def pf_scan_supported(pf) -> bool:
 
 
 def pf_loglik_fused(pf, u, y, seed, x0: Optional[jax.Array] = None,
-                    force_kernel: bool = False):
+                    force_kernel: bool = False,
+                    _debug_no_resample: bool = False):
     """Total bootstrap-PF log-likelihood of ``y`` — one fused kernel.
 
     Semantics match ``pf.loglik(u, y, key=...)`` distributionally (same
@@ -185,7 +186,8 @@ def pf_loglik_fused(pf, u, y, seed, x0: Optional[jax.Array] = None,
     kernel = functools.partial(
         _pf_kernel, T=T, TB=TB, LB=LB, N=N, NL=NL, NB=NB, nx=nx, ny=ny,
         nu=nu, Ts=Ts, thresh=thresh, nf=nf, ng=ng, f_flat=f_flat,
-        g_flat=g_flat, use_prng=_on_tpu(), has_x0=has_x0)
+        g_flat=g_flat, use_prng=_on_tpu(), has_x0=has_x0,
+        no_resample=_debug_no_resample)
     consts = [jnp.asarray(c) for c in [*f_consts, *g_consts]]
     with jax.default_matmul_precision("highest"):
         ll, nresamp = pl.pallas_call(
@@ -200,6 +202,11 @@ def pf_loglik_fused(pf, u, y, seed, x0: Optional[jax.Array] = None,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
+            scratch_shapes=[
+                pltpu.VMEM((nx, 8, NL), jnp.float32),   # cloud planes
+                pltpu.VMEM((8, NL), jnp.float32),       # log-weights
+                pltpu.SMEM((2,), jnp.float32),          # ll, n_resamples
+            ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=max(32 << 20,
                                      _vmem_need(N, nx) + (16 << 20))),
@@ -212,9 +219,9 @@ def pf_loglik_fused(pf, u, y, seed, x0: Optional[jax.Array] = None,
 def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
                mu2_ref, L0_ref, mu0_ref, x0_ref, *rest, T, TB, LB, N, NL,
                NB, nx, ny, nu, Ts, thresh, nf, ng, f_flat, g_flat,
-               use_prng, has_x0):
+               use_prng, has_x0, no_resample=False):
     const_refs = rest[:nf + ng]
-    ll_ref, nres_ref = rest[nf + ng:]
+    ll_ref, nres_ref, xpl_ref, w_ref, acc_ref = rest[nf + ng:]
     fcs = [c[:] for c in const_refs[:nf]]
     gcs = [c[:] for c in const_refs[nf:]]
     L1 = L1_ref[...]
@@ -247,55 +254,64 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
         return jnp.float32(0.5)
 
     # ---- init: x ~ d0 (filtering.jl:4-14), uniform weights ----------
+    # The cloud/weights live in VMEM SCRATCH refs and every conditional
+    # (resample trigger, t < T guard) is a `pl.when` REF MUTATION: a
+    # `lax.cond` returning the [8, NL] plane tuple from both branches
+    # made Mosaic's compile explode (>40 min at any size) — scf.if with
+    # vector results is pathological, scf.if with memory effects (the
+    # ffbs_kernel pattern) compiles in seconds.
     if has_x0:
-        planes = [x0_ref[d] for d in range(nx)]
+        for d in range(nx):
+            xpl_ref[d] = x0_ref[d]
     else:
         if use_prng:
             pltpu.prng_seed(seed_ref[0], -1)
-        planes = []
         zs = [_normals((8, NL)) for _ in range(nx)]
         for d in range(nx):
             acc = jnp.zeros((8, NL), jnp.float32) + mu0[0, d]
             for e in range(nx):
                 acc = acc + L0[d, e] * zs[e]
-            planes.append(acc)
-    w = jnp.where(pad, _NEG, -logN)
+            xpl_ref[d] = acc
+    w_ref[...] = jnp.where(pad, _NEG, -logN)
+    acc_ref[0] = 0.0   # ll
+    acc_ref[1] = 0.0   # n_resamples
 
-    def step_in_block(yblk, ublk, t, carry):
-        *planes, w, ll2, nres2 = carry
+    def step_in_block(yblk, ublk, t):
         s = t % LB
         tk = t.astype(jnp.float32) * Ts
         maskf = (lane == s).astype(jnp.float32)
         y2 = (yblk @ maskf.T).T          # [1, ny]
         uvec = (ublk @ maskf.T)[:, 0] if nu > 0 else None
+        valid_t = t < T
         if use_prng:
             pltpu.prng_seed(seed_ref[0], t)
 
-        Fv = jax.vmap(lambda xi: f_flat(xi, uvec, tk, *fcs),
+        # double-vmap over the (sublane, lane) plane axes: user callbacks
+        # apply to the stacked [nx, 8, NL] cloud in ONE batched call —
+        # no per-sublane-row slicing/concat relayouts
+        Fv = jax.vmap(jax.vmap(lambda xi: f_flat(xi, uvec, tk, *fcs),
+                               in_axes=1, out_axes=1),
                       in_axes=1, out_axes=1)
-        Gv = jax.vmap(lambda xi: g_flat(xi, uvec, tk, *gcs),
+        Gv = jax.vmap(jax.vmap(lambda xi: g_flat(xi, uvec, tk, *gcs),
+                               in_axes=1, out_axes=1),
                       in_axes=1, out_axes=1)
 
         # ---- correct: weight the CURRENT cloud (filtering.jl:164-174,
         # correct-then-predict order of filtering.jl:181-191) ----------
-        logp_rows = [None] * 8
-        for srow in range(8):
-            xmat = jnp.concatenate(
-                [p[srow:srow + 1, :] for p in planes], axis=0)  # [nx, NL]
-            yh = Gv(xmat)                                    # [ny, NL]
-            quad = jnp.zeros((1, NL), jnp.float32)
-            for d in range(ny):
-                zrow = jnp.zeros((1, NL), jnp.float32)
-                for e in range(d + 1):                       # L2i lower-tri
-                    r_e = (y2[0, e] - mu2[0, e]) - yh[e:e + 1, :]
-                    zrow = zrow + L2i[d, e] * r_e
-                quad = quad + zrow * zrow
-            logp_rows[srow] = cst - 0.5 * quad
-        logp = jnp.concatenate(logp_rows, axis=0)            # [8, NL]
+        xs = jnp.stack([xpl_ref[d] for d in range(nx)])      # [nx, 8, NL]
+        yh = Gv(xs)                                          # [ny, 8, NL]
+        quad = jnp.zeros((8, NL), jnp.float32)
+        for d in range(ny):
+            zpl = jnp.zeros((8, NL), jnp.float32)
+            for e in range(d + 1):                           # L2i lower-tri
+                zpl = zpl + L2i[d, e] * ((y2[0, e] - mu2[0, e]) - yh[e])
+            quad = quad + zpl * zpl
+        logp = cst - 0.5 * quad                              # [8, NL]
 
         # missing measurement: skip the weight update (PFtypes.jl:109)
         missing = jnp.any(jnp.isnan(y2))
-        w1 = jnp.where(pad, _NEG, w + jnp.where(missing, 0.0, logp))
+        w1 = jnp.where(pad, _NEG, w_ref[...]
+                       + jnp.where(missing, 0.0, logp))
 
         # ---- normalize (ops/logsumexp.py bookkeeping) ---------------
         m = jnp.max(w1)
@@ -310,60 +326,51 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
         do = neff < jnp.float32(thresh * N) if thresh < 1.0 else (
             jnp.asarray(True))
 
-        def _resample(ops):
-            planes, we = ops
-            cum = hs_cumsum(we, NB, NL)
-            tot = jnp.sum(we)
-            r = _uniform_scalar()
-            K = jnp.ceil(cum * (jnp.float32(N) / tot) - r)
-            K = jnp.clip(K, 0.0, jnp.float32(N)).astype(jnp.int32)
-            # Hillis-Steele f32 cumsum is not monotone under rounding;
-            # routing needs sorted K (see _systematic_slots rationale)
-            K = hs_cummax(K, NB, NL)
-            K = jnp.where(pad, jnp.int32(N), K)
-            routed = route_systematic(list(planes), K, N, NL)
-            return tuple(routed), jnp.where(pad, _NEG, -logN), True
+        @pl.when(valid_t)
+        def _commit_weights():
+            w_ref[...] = w2
+            acc_ref[0] = acc_ref[0] + ll_t
 
-        def _keep(ops):
-            planes, _ = ops
-            return tuple(planes), w2, False
-
-        planes, w3, fired = jax.lax.cond(do, _resample, _keep,
-                                         (tuple(planes), we))
+        if not no_resample:
+            @pl.when(valid_t & do)
+            def _resample():
+                cum = hs_cumsum(we, NB, NL)
+                tot = jnp.sum(we)
+                r = _uniform_scalar()
+                K = jnp.ceil(cum * (jnp.float32(N) / tot) - r)
+                K = jnp.clip(K, 0.0, jnp.float32(N)).astype(jnp.int32)
+                # Hillis-Steele f32 cumsum is not monotone under
+                # rounding; routing needs sorted K (_systematic_slots)
+                K = hs_cummax(K, NB, NL)
+                K = jnp.where(pad, jnp.int32(N), K)
+                routed = route_systematic(
+                    [xpl_ref[d] for d in range(nx)], K, N, NL)
+                for d in range(nx):
+                    xpl_ref[d] = routed[d]
+                w_ref[...] = jnp.where(pad, _NEG, -logN)
+                acc_ref[1] = acc_ref[1] + 1.0
 
         # ---- predict: propagate + noise (PFtypes.jl:122-139) --------
-        zs = [_normals((8, NL)) for _ in range(nx)]
-        new_rows = [[None] * 8 for _ in range(nx)]
-        for srow in range(8):
-            xmat = jnp.concatenate(
-                [p[srow:srow + 1, :] for p in planes], axis=0)
-            xn = Fv(xmat)
+        @pl.when(valid_t)
+        def _predict():
+            zs = [_normals((8, NL)) for _ in range(nx)]
+            xn = Fv(jnp.stack([xpl_ref[d] for d in range(nx)]))
             for d in range(nx):
-                acc = xn[d:d + 1, :] + mu1[0, d]
+                acc = xn[d] + mu1[0, d]
                 for e in range(nx):
-                    acc = acc + L1[d, e] * zs[e][srow:srow + 1, :]
-                new_rows[d][srow] = acc
-        planes = [jnp.concatenate(new_rows[d], axis=0) for d in range(nx)]
-
-        valid_t = t < T
-        out_planes = [jnp.where(valid_t, pn, po)
-                      for pn, po in zip(planes, carry[:nx])]
-        w_out = jnp.where(valid_t, w3, w)
-        return (*out_planes, w_out,
-                ll2 + jnp.where(valid_t, ll_t, 0.0),
-                nres2 + jnp.where(valid_t & fired, 1.0, 0.0))
+                    acc = acc + L1[d, e] * zs[e]
+                xpl_ref[d] = acc
 
     def block(b, carry):
         yblk = ysb_ref[b]
         ublk = usb_ref[b]
 
         def inner(s, c):
-            return step_in_block(yblk, ublk, b * LB + s, c)
+            step_in_block(yblk, ublk, b * LB + s)
+            return c
 
         return jax.lax.fori_loop(0, LB, inner, carry)
 
-    init = (*planes, w, jnp.zeros((1, 1), jnp.float32),
-            jnp.zeros((1, 1), jnp.float32))
-    out = jax.lax.fori_loop(0, TB, block, init)
-    ll_ref[0, 0] = out[nx + 1][0, 0]
-    nres_ref[0, 0] = out[nx + 2][0, 0]
+    jax.lax.fori_loop(0, TB, block, jnp.int32(0))
+    ll_ref[0, 0] = acc_ref[0]
+    nres_ref[0, 0] = acc_ref[1]
