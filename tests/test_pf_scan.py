@@ -108,6 +108,45 @@ def test_missing_measurement_skips_update():
     assert np.isfinite(float(ll_f))
 
 
+def test_affine_detection():
+    """The static jaxpr affinity check gates the scalar-x-plane fast
+    path: affine callbacks detected, nonlinear ones fail closed."""
+    from lowlevelparticlefilters_jl_tpu.ops.pallas.pf_scan import _flatten
+
+    aff = lambda x, u, p, t: A @ x + B @ u
+    _, _, ok = _flatten(aff, 2, 1, None)
+    assert ok
+    nonlin = lambda x, u, p, t: jnp.sin(x) + B @ u
+    _, _, ok = _flatten(nonlin, 2, 1, None)
+    assert not ok
+    quad = lambda x, u, p, t: x * x
+    _, _, ok = _flatten(quad, 2, 1, None)
+    assert not ok
+    # affine-through-structure: broadcast/slice/concat preserve affinity
+    struct = lambda x, u, p, t: jnp.concatenate([x[:1] - x[1:], 2.0 * x[:1]])
+    _, _, ok = _flatten(struct, 2, 1, None)
+    assert ok
+
+
+def test_affine_and_row_paths_agree():
+    """Same model through the affine fast path and the per-sublane-row
+    callback path (PF_SCAN_DEBUG=noaffine is env-only, so drive the flag
+    via monkeypatched os.environ) must produce the same deterministic
+    interpret-mode log-likelihood."""
+    import os
+
+    pf = _pf(0.0)
+    x0, _ = _shared_state()
+    us, ys = _data(17)
+    ll_a, _ = pf_loglik_fused(pf, us, ys, 0, x0=x0, force_kernel=True)
+    os.environ["PF_SCAN_DEBUG"] = "noaffine"
+    try:
+        ll_r, _ = pf_loglik_fused(pf, us, ys, 0, x0=x0, force_kernel=True)
+    finally:
+        del os.environ["PF_SCAN_DEBUG"]
+    np.testing.assert_allclose(float(ll_a), float(ll_r), rtol=1e-5)
+
+
 def test_supported_gate():
     assert pf_scan_supported(_pf(0.1))
     apf = llpf.AuxiliaryParticleFilter(pf=_pf(0.1))
