@@ -181,7 +181,12 @@ def bench_pf(N=100_000, T=1_000, resample_threshold=0.1):
     return rate, dt, rate * per_ps / PEAK_BF16_FLOPS
 
 
-def bench_kf_bank(Bk=1024, T=200):
+def bench_kf_bank(Bk=1024, T=200, path="bank"):
+    """Bank of ``Bk`` shared-model KFs.  ``path='bank'`` uses the
+    shared-Riccati bank execution (filters/bank.py: covariance recursion
+    once, bank-major mean matmuls); ``'vmap'`` is the replicated-Riccati
+    baseline.  The bank ll is cross-checked against the vmap oracle on
+    hardware before timing."""
     A = jnp.array([[0.97043, -0.097368], [0.097368, 0.970437]], dtype=jnp.float32)
     Bm = jnp.array([[0.1], [0.0]], dtype=jnp.float32)
     C = jnp.eye(2, dtype=jnp.float32)
@@ -193,15 +198,25 @@ def bench_kf_bank(Bk=1024, T=200):
     def make(Tn):
         us = 0.3 * jnp.ones((Bk, Tn, 1), jnp.float32)
         ys = jax.vmap(lambda k, u: llpf.simulate(kf, u, k)[2])(keys, us)
-        run = jax.jit(
-            lambda us, ys: jax.vmap(lambda u, y: llpf.loglik(kf, u, y))(us, ys)
-        )
+        if path == "bank":
+            run = jax.jit(lambda us, ys: llpf.kf_bank_loglik(kf, us, ys))
+        else:
+            run = jax.jit(lambda us, ys: jax.vmap(
+                lambda u, y: llpf.loglik(kf, u, y))(us, ys))
         return run, (us, ys), Bk * Tn
 
+    run1, (us1, ys1), _ = make(T)
+    if path == "bank":
+        ll_b = np.asarray(jax.device_get(run1(us1, ys1)))
+        ll_o = np.asarray(jax.device_get(jax.jit(lambda us, ys: jax.vmap(
+            lambda u, y: llpf.loglik(kf, u, y))(us, ys))(us1, ys1)))
+        ll_ok = bool(np.allclose(ll_b, ll_o, rtol=2e-3))
+    else:
+        ll_ok = True
     step_rate, dt = _tslope(make, T, 8 * T)
     # model FLOPs per KF step (nx=2, ny=2, nu=1): predict 2(2nx^3+nx^2 nu)
     # + correct ~ 2(2 nx^2 ny + ny^3 + nx ny^2 + nx ny) ≈ 150 flops.
-    return step_rate / T, dt, step_rate * 150 / PEAK_BF16_FLOPS
+    return step_rate / T, dt, step_rate * 150 / PEAK_BF16_FLOPS, ll_ok
 
 
 def bench_ukf(T=50_000):
@@ -361,7 +376,11 @@ def main():
     cert = certify_kernels()
     pf_rate, pf_dt, pf_mfu = bench_pf()
     pf_rate_full, pf_dt_full, pf_full_mfu = bench_pf(resample_threshold=1.0)
-    kf_rate, kf_dt, kf_mfu = bench_kf_bank()
+    kf_rate, kf_dt, kf_mfu, kf_ll_ok = bench_kf_bank()
+    try:
+        kf8_rate, _, _, kf8_ll_ok = bench_kf_bank(Bk=8192)
+    except Exception:
+        kf8_rate, kf8_ll_ok = float("nan"), False
     ukf_rate, ukf_dt, ukf_bank_rate, ukf_fused_rate = bench_ukf()
     ffbs_rate, ffbs_dt, ffbs_mfu = bench_ffbs()
     pkf_speedup, pkf_seq, pkf_par = bench_parallel_kf()
@@ -419,6 +438,10 @@ def main():
             ),
             "kf_bank1024_passes_per_s": round(kf_rate, 1),
             "kf_bank1024_walltime_s_T200": round(kf_dt, 4),
+            "kf_bank_path": "shared_riccati",
+            "kf_bank_ll_matches_vmap": bool(kf_ll_ok),
+            "kf_bank8192_passes_per_s": round(kf8_rate, 1),
+            "kf_bank8192_ll_matches_vmap": bool(kf8_ll_ok),
             "ukf_steps_per_s_T50k": round(ukf_rate, 1),
             "ukf_vs_julia_baseline": round(ukf_rate / BASELINE_UKF_STEPS_PER_S, 3),
             "ukf_fused_kernel_steps_per_s_T50k": round(ukf_fused_rate, 1),

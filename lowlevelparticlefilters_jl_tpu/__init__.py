@@ -63,6 +63,8 @@ from .ops.constraints import (
 
 from .filters.base import AbstractFilter, AbstractKalmanFilter, AbstractParticleFilter
 from .filters.kalman import KalmanFilter, KFState, KalmanInfo
+from .filters.bank import (
+    kf_bank_admissible, kf_bank_forward, kf_bank_loglik, KFBankSolution)
 from .filters.ukf import UnscentedKalmanFilter, make_ukf
 from .filters.ekf import ExtendedKalmanFilter, make_ekf, make_iekf
 from .filters.sqkf import (

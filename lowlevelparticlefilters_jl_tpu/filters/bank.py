@@ -1,0 +1,224 @@
+"""Bank execution of a SHARED linear Kalman filter over many datasets.
+
+TPU-native re-design of the reference's "bank of filters" workload
+(/root/reference/docs/src/benchmark.md:63-117 runs the same
+`KalmanFilter` over many independent trajectories).  A `vmap` over
+`forward_trajectory` replicates the covariance/gain Riccati recursion
+per lane even though it never touches the data — for a shared model the
+recursion `R⁺ = α·A(I-KC)RAᵀ + R1`, `K = f(R)` is DATA-INDEPENDENT
+(filtering.jl:52-128: only `x` and `e` see `y`).  This module computes
+that recursion ONCE, folds each step's correct+predict into a single
+affine map on the bank means,
+
+    x⁺ = (A - A·K·C)·x + A·K·y + (B - A·K·D)·u,
+
+and evaluates the whole bank as bank-major ``[B, nx] @ [nx, nx]``
+matmuls (MXU-shaped, one per step) with every data-drive term
+precomputed OUTSIDE the scan as one batched einsum over the full
+sequence.  Per step the scan body is two matmuls and an elementwise
+reduction — the minimum the recursion admits.
+
+Admission: constant or time-stacked (non-callable) system matrices —
+anything `x`-dependent makes the Riccati data-dependent and falls back
+to `vmap`.  R12, D-feedthrough and α-forgetting are supported (they
+only enter the shared recursion).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.matrices import resolve_mat
+from ..utils.struct import struct, field
+from .kalman import _LOG2PI, kf_correct, kf_predict
+
+__all__ = ["kf_bank_admissible", "kf_bank_loglik", "kf_bank_forward",
+           "KFBankSolution"]
+
+
+@struct
+class KFBankSolution:
+    """Bank forward pass: per-lane means, SHARED covariances, per-lane ll.
+
+    ``x``/``xt`` are prior/filtered means ``[B, T, nx]``; ``R``/``Rt``
+    the shared prior/filtered covariances ``[T, nx, nx]`` (identical
+    across the bank by construction); ``ll`` is ``[B]``.
+    """
+
+    x: jax.Array = field()
+    xt: jax.Array = field()
+    R: jax.Array = field()
+    Rt: jax.Array = field()
+    ll: jax.Array = field()
+    e: jax.Array = field()
+
+
+def kf_bank_admissible(kf) -> bool:
+    """True when the shared-Riccati bank path applies: every system
+    matrix is a constant/time-stacked array (or None) and alpha is a
+    static number — i.e. nothing in the covariance recursion can depend
+    on the per-lane state or data."""
+    from .kalman import KalmanFilter
+
+    if type(kf) is not KalmanFilter:
+        return False
+    mats = (kf.A, kf.B, kf.C, kf.D, kf.R1, kf.R2, kf.R12)
+    if any(callable(M) and not isinstance(M, jax.Array) for M in mats):
+        return False
+    return isinstance(kf.alpha, (int, float))
+
+
+def _shared_recursion(kf, T, dtype):
+    """One pass of the data-independent covariance/gain recursion.
+
+    Reuses `kf_correct`/`kf_predict` on a zero mean so R12 / alpha /
+    time-stacked matrices follow the exact production code path; harvests
+    per-step ``(R_prior, Schol, K, R_filt)`` plus the resolved system
+    matrices."""
+    nx, ny = kf.nx, kf.ny
+    zx = jnp.zeros((nx,), dtype)
+    zy = jnp.zeros((ny,), dtype)
+    p = kf.p
+    tvec = jnp.arange(T, dtype=dtype) * kf.Ts
+
+    def step(R, tk):
+        At = resolve_mat(kf.A, zx, None, p, tk, Ts=kf.Ts)
+        Bt = resolve_mat(kf.B, zx, None, p, tk, Ts=kf.Ts)
+        Ct = resolve_mat(kf.C, zx, None, p, tk, Ts=kf.Ts)
+        Dt = resolve_mat(kf.D, zx, None, p, tk, Ts=kf.Ts)
+        R1t = resolve_mat(kf.R1, zx, None, p, tk, Ts=kf.Ts)
+        R2t = resolve_mat(kf.R2, zx, None, p, tk, Ts=kf.Ts)
+        R12t = resolve_mat(kf.R12, zx, None, p, tk, Ts=kf.Ts)
+        _, Rf, info = kf_correct(zx, R, Ct, Dt, None, zy, R2t, R12t)
+        _, Rp = kf_predict(zx, Rf, At, None, None, R1t, kf.alpha)
+        Dout = jnp.zeros((ny, max(kf.nu, 0)), dtype) if Dt is None else Dt
+        Bout = jnp.zeros((nx, max(kf.nu, 0)), dtype) if Bt is None else Bt
+        return Rp, (R, info.Schol, info.K, Rf, At, Bout, Ct, Dout)
+
+    _, (Rs, Schol, K, Rf, A, B, C, D) = jax.lax.scan(
+        step, jnp.asarray(kf.d0.cov, dtype), tvec)
+    return Rs, Schol, K, Rf, A, B, C, D
+
+
+def _bank_inputs(kf, us, ys):
+    ys = jnp.asarray(ys)
+    if ys.ndim != 3:
+        raise ValueError("kf_bank expects ys with shape [B, T, ny]")
+    B, T, ny = ys.shape
+    nu = max(kf.nu, 0)
+    if us is None:
+        us = jnp.zeros((B, T, nu), ys.dtype)
+    else:
+        us = jnp.asarray(us, ys.dtype)
+        if us.ndim == 2:           # shared input sequence
+            us = jnp.broadcast_to(us[None], (B, T, us.shape[-1]))
+    return us, ys, B, T
+
+
+def _bank_scan(kf, us, ys, want_states: bool):
+    """Shared precompute + bank-major scan.  Returns
+    (ll[B], x[B,T,nx], xt[B,T,nx], e[B,T,ny], R[T,nx,nx], Rt[T,nx,nx])
+    with the state outputs None when ``want_states`` is False."""
+    us, ys, Bk, T = _bank_inputs(kf, us, ys)
+    dtype = ys.dtype
+    nx, ny = kf.nx, kf.ny
+    Rs, Schol, K, Rf, A, Bm, C, D = _shared_recursion(kf, T, dtype)
+
+    eye = jnp.eye(ny, dtype=dtype)
+    Linv = jax.vmap(lambda L: jax.scipy.linalg.solve_triangular(
+        L, eye, lower=True))(Schol)                       # [T, ny, ny]
+    # per-step whitening / recursion operators (all [T, ...])
+    hp = jax.lax.Precision.HIGHEST
+    em = lambda s, *xs: jnp.einsum(s, *xs, precision=hp)
+    AK = em("tij,tjk->tik", A, K)                         # A·K
+    M = A - em("tij,tjk->tik", AK, C)                     # [T, nx, nx]
+    W2 = em("tji,tkj->tik", C, Linv)                      # Cᵀ·Linvᵀ [T,nx,ny]
+    cst = (-0.5 * ny * _LOG2PI
+           + jnp.sum(jnp.log(jnp.abs(
+               jnp.diagonal(Linv, axis1=-2, axis2=-1))), -1))  # [T]
+
+    # data-drive terms: one einsum over the whole sequence each
+    Z0 = em("bty,tzy->btz", ys, Linv)                     # y whitened
+    drive = em("bty,tiy->bti", ys, AK)                    # (A·K)·y
+    if us.shape[-1] > 0:
+        Z0 = Z0 - em("btu,tzy,tyu->btz", us, Linv, D)
+        drive = drive + em("btu,tiu->bti", us,
+                           Bm - em("tij,tju->tiu", AK, D))
+    # innovation whitening gives ll directly; raw e needs un-whitening —
+    # cheaper to recompute e = y - Cx - Du on the fly when states are kept
+    Z0s = jnp.moveaxis(Z0, 1, 0)                          # [T, B, ny]
+    drives = jnp.moveaxis(drive, 1, 0)                    # [T, B, nx]
+
+    x0 = jnp.broadcast_to(jnp.asarray(kf.d0.mean, dtype), (Bk, nx))
+
+    if want_states:
+        Ds = jnp.moveaxis(us, 1, 0)                       # [T, B, nu]
+        Ys = jnp.moveaxis(ys, 1, 0)
+
+        def step(X, inp):
+            Mt, W2t, Kt, Ct, Dt, cstt, z0, dr, yt, ut = inp
+            Z = z0 - jnp.einsum("bi,iy->by", X, W2t, precision=hp)
+            llt = cstt - 0.5 * jnp.sum(Z * Z, -1)
+            e = yt - jnp.einsum("bi,yi->by", X, Ct, precision=hp)
+            if us.shape[-1] > 0:
+                e = e - jnp.einsum("bu,yu->by", ut, Dt, precision=hp)
+            Xf = X + jnp.einsum("by,iy->bi", e, Kt, precision=hp)
+            Xn = (jnp.einsum("bi,ji->bj", X, Mt, precision=hp) + dr)
+            return Xn, (llt, X, Xf, e)
+
+        _, (lls, Xp, Xf, E) = jax.lax.scan(
+            step, x0, (M, W2, K, C,
+                       jnp.broadcast_to(D, (T,) + D.shape[-2:]), cst,
+                       Z0s, drives, Ys, Ds))
+        return (jnp.sum(lls, 0), jnp.moveaxis(Xp, 1, 0),
+                jnp.moveaxis(Xf, 1, 0), jnp.moveaxis(E, 1, 0), Rs, Rf)
+
+    def step(X, inp):
+        Mt, W2t, cstt, z0, dr = inp
+        Z = z0 - jnp.einsum("bi,iy->by", X, W2t, precision=hp)
+        llt = cstt - 0.5 * jnp.sum(Z * Z, -1)
+        Xn = jnp.einsum("bi,ji->bj", X, Mt, precision=hp) + dr
+        return Xn, llt
+
+    _, lls = jax.lax.scan(step, x0, (M, W2, cst, Z0s, drives))
+    return jnp.sum(lls, 0), None, None, None, Rs, Rf
+
+
+def kf_bank_loglik(kf, us, ys) -> jax.Array:
+    """Per-lane log-likelihood ``[B]`` of ``B`` independent datasets
+    through one shared `KalmanFilter` — semantically
+    ``vmap(lambda u, y: loglik(kf, u, y))(us, ys)`` (smoothing.jl:227-236
+    objective) with the Riccati recursion computed once and the bank
+    means advanced by bank-major matmuls.
+
+    ``ys``: ``[B, T, ny]``; ``us``: ``[B, T, nu]``, shared ``[T, nu]``,
+    or None.
+    """
+    if not kf_bank_admissible(kf):
+        ll1 = lambda u, y: _vmap_loglik(kf, u, y)
+        us, ys, _, _ = _bank_inputs(kf, us, ys)
+        return jax.vmap(ll1)(us, ys)
+    ll, *_ = _bank_scan(kf, us, ys, want_states=False)
+    return ll
+
+
+def kf_bank_forward(kf, us, ys) -> KFBankSolution:
+    """Full bank forward pass (forward_trajectory semantics,
+    filtering.jl:282-327 save-predict/correct/save-filtered order):
+    per-lane prior/filtered means and innovations plus the SHARED
+    covariance sequences."""
+    if not kf_bank_admissible(kf):
+        raise ValueError(
+            "kf_bank_forward requires non-callable system matrices and "
+            "static alpha (the shared-Riccati bank path); use "
+            "vmap(forward_trajectory) for state-dependent models")
+    ll, Xp, Xf, E, Rs, Rf = _bank_scan(kf, us, ys, want_states=True)
+    return KFBankSolution(x=Xp, xt=Xf, R=Rs, Rt=Rf, ll=ll, e=E)
+
+
+def _vmap_loglik(kf, u, y):
+    from ..trajectory import loglik
+
+    return loglik(kf, u, y)
