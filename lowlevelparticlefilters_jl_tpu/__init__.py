@@ -140,7 +140,8 @@ from .smoothing import (
 )
 
 from .ops.pallas.ukf_scan import ukf_loglik_fused, ekf_loglik_fused
-from .ops.pallas.pf_scan import pf_loglik_fused, pf_scan_supported
+from .ops.pallas.pf_scan import (
+    pf_loglik_fused, pf_mean_fused, pf_scan_supported)
 from .parallel.temporal import (
     parallel_forward_trajectory,
     parallel_rts_smooth,

@@ -172,6 +172,28 @@ def pf_loglik_fused(pf, u, y, seed, x0: Optional[jax.Array] = None,
     PRNG, so forced runs use zero noise / r=0.5 (exact MAP semantics the
     CPU tests compare against a zero-noise XLA oracle).
     """
+    out = _pf_scan_fused(pf, u, y, seed, x0, force_kernel,
+                         _debug_no_resample, want_means=False)
+    return out[0], out[1]
+
+
+def pf_mean_fused(pf, u, y, seed, x0: Optional[jax.Array] = None,
+                  force_kernel: bool = False):
+    """Filtered (posterior-weighted) mean trajectory ``[T, nx]`` plus
+    ``(ll, n_resamples)`` from the same fused whole-scan kernel as
+    :func:`pf_loglik_fused` — the state-tracking counterpart of
+    ``forward_trajectory`` + ``weighted_mean`` (filtering.jl:282-327,
+    PFtypes.jl weighted_mean) at in-VMEM scan speed.  Per step the
+    kernel reduces ``Σ wᵉ·x`` per state dim into a one-hot lane
+    accumulator, so the only extra HBM traffic is the [T, nx] output.
+    """
+    means, ll, nres = _pf_scan_fused(pf, u, y, seed, x0, force_kernel,
+                                     False, want_means=True)
+    return means, ll, nres
+
+
+def _pf_scan_fused(pf, u, y, seed, x0, force_kernel, _debug_no_resample,
+                   want_means: bool):
     import os
 
     dbg = os.environ.get("PF_SCAN_DEBUG", "")
@@ -180,6 +202,10 @@ def pf_loglik_fused(pf, u, y, seed, x0: Optional[jax.Array] = None,
                          "(see pf_scan_supported)")
     if not _on_tpu() and not force_kernel:
         key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
+        if want_means:
+            sol = pf.forward_trajectory(u, y, key=key)
+            means = jnp.einsum("tn,tnd->td", sol.we, sol.x)
+            return means, sol.ll, jnp.float32(jnp.nan)
         return pf.loglik(u, y, key=key), jnp.float32(jnp.nan)
 
     y = jnp.asarray(y, jnp.float32)
@@ -269,41 +295,57 @@ def pf_loglik_fused(pf, u, y, seed, x0: Optional[jax.Array] = None,
         nu=nu, Ts=Ts, thresh=thresh, nf=nf, ng=ng, f_flat=f_flat,
         g_flat=g_flat, use_prng=_on_tpu() and "noprng" not in dbg,
         has_x0=has_x0, no_resample=_debug_no_resample, dbg=dbg,
-        affine=affine)
+        affine=affine, want_means=want_means)
     consts = [jnp.asarray(c) for c in [*f_consts, *g_consts]]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((nx, 8, NL), jnp.float32),   # cloud planes
+        pltpu.VMEM((8, NL), jnp.float32),       # log-weights
+        pltpu.SMEM((2,), jnp.float32),          # ll, n_resamples
+    ]
+    if want_means:
+        out_shape.append(jax.ShapeDtypeStruct((TB, nx, LB), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        scratch.append(pltpu.VMEM((nx, 8, LB), jnp.float32))  # mean acc
     with jax.default_matmul_precision("highest"):
-        ll, nresamp = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
-            out_shape=(
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            ),
+            out_shape=tuple(out_shape),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (10 + len(consts)),
-            out_specs=(
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((nx, 8, NL), jnp.float32),   # cloud planes
-                pltpu.VMEM((8, NL), jnp.float32),       # log-weights
-                pltpu.SMEM((2,), jnp.float32),          # ll, n_resamples
-            ],
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=max(32 << 20,
                                      _vmem_need(N, nx) + (16 << 20))),
             interpret=pltpu.InterpretParams() if not _on_tpu() else False,
         )(jnp.asarray(seed, jnp.int32).reshape(1), ysb, usb, L1, mu1,
           L2inv, mu2, L0, mu0, x0p, ab, *consts)
+    ll, nresamp = outs[0], outs[1]
+    if want_means:
+        means = outs[2].transpose(1, 0, 2).reshape(nx, Tpad).T[:T]
+        return means, ll[0, 0], nresamp[0, 0]
     return ll[0, 0], nresamp[0, 0]
 
 
 def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
                mu2_ref, L0_ref, mu0_ref, x0_ref, ab_ref, *rest, T, TB, LB, N, NL,
                NB, nx, ny, nu, Ts, thresh, nf, ng, f_flat, g_flat,
-               use_prng, has_x0, no_resample=False, dbg="", affine=False):
+               use_prng, has_x0, no_resample=False, dbg="", affine=False,
+               want_means=False):
     const_refs = rest[:nf + ng]
-    ll_ref, nres_ref, xpl_ref, w_ref, acc_ref = rest[nf + ng:]
+    if want_means:
+        (ll_ref, nres_ref, mout_ref, xpl_ref, w_ref, acc_ref,
+         macc_ref) = rest[nf + ng:]
+    else:
+        ll_ref, nres_ref, xpl_ref, w_ref, acc_ref = rest[nf + ng:]
     fcs = [c[:] for c in const_refs[:nf]]
     gcs = [c[:] for c in const_refs[nf:]]
     L1 = L1_ref[...]
@@ -459,6 +501,15 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
             w_ref[...] = w2
             acc_ref[0] = acc_ref[0] + ll_t
 
+        if want_means:
+            # filtered mean Σ wᵉ·x per dim, accumulated into this
+            # block's one-hot lane slot (flushed to mout_ref per block)
+            @pl.when(valid_t)
+            def _commit_means():
+                for d in range(nx):
+                    md = jnp.sum(we * xpl_ref[d])
+                    macc_ref[d, 0:1, :] = macc_ref[d, 0:1, :] + md * maskf
+
         if not no_resample:
             @pl.when(valid_t & do)
             def _resample():
@@ -509,12 +560,19 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
         yblk = ysb_ref[b]
         ublk = usb_ref[b]
         ablk = ab_ref[b]
+        if want_means:
+            for d in range(nx):
+                macc_ref[d] = jnp.zeros((8, LB), jnp.float32)
 
         def inner(s, c):
             step_in_block(yblk, ublk, ablk, b * LB + s)
             return c
 
-        return jax.lax.fori_loop(0, LB, inner, carry)
+        out = jax.lax.fori_loop(0, LB, inner, carry)
+        if want_means:
+            mout_ref[b] = jnp.concatenate(
+                [macc_ref[d, 0:1, :] for d in range(nx)], 0)
+        return out
 
     jax.lax.fori_loop(0, TB, block, jnp.int32(0))
     ll_ref[0, 0] = acc_ref[0]

@@ -147,6 +147,28 @@ def test_affine_and_row_paths_agree():
     np.testing.assert_allclose(float(ll_a), float(ll_r), rtol=1e-5)
 
 
+def test_mean_fused_matches_xla():
+    """pf_mean_fused: the per-step Σ wᵉ·x reduction in the kernel must
+    equal the weighted means of the XLA forward trajectory (zero noise,
+    no resample, shared x0 — deterministic)."""
+    from lowlevelparticlefilters_jl_tpu.ops.pallas.pf_scan import (
+        pf_mean_fused)
+
+    pf = _pf(0.0)
+    x0, s0 = _shared_state()
+    T = 140  # crosses a lane-block boundary
+    us, ys = _data(T)
+    sol = pf.forward_trajectory(us, ys, state0=s0)
+    want = jnp.einsum("tn,tnd->td", sol.we, sol.x)
+    means, ll_f, nres = pf_mean_fused(pf, us, ys, 0, x0=x0,
+                                      force_kernel=True)
+    assert means.shape == (T, 2)
+    np.testing.assert_allclose(np.asarray(means), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(float(ll_f), float(sol.ll), rtol=1e-5)
+    assert float(nres) == 0.0
+
+
 def test_supported_gate():
     assert pf_scan_supported(_pf(0.1))
     apf = llpf.AuxiliaryParticleFilter(pf=_pf(0.1))
