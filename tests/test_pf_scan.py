@@ -169,6 +169,27 @@ def test_mean_fused_matches_xla():
     assert float(nres) == 0.0
 
 
+def test_pmmh_composition():
+    """docs/param_est_bayesian.md fused-PMMH recipe: pf_loglik_fused
+    composes inside the metropolis scan (off-TPU it silently runs the
+    XLA path with a seed-derived key)."""
+    pf = _pf(0.5, R1=0.01 * jnp.eye(2, dtype=jnp.float32))
+    us, ys = _data(8)
+
+    def ll(theta, key):
+        pfi = pf.replace(measurement_density=llpf.MvNormal(
+            jnp.zeros(2), jnp.exp(2 * theta[0]) * jnp.eye(2)))
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        llv, _ = pf_loglik_fused(pfi, us, ys, seed)
+        return llv
+
+    thetas, lls = llpf.metropolis(ll, 4, 0.1 * jnp.ones(1),
+                                  key=jax.random.PRNGKey(0),
+                                  ll_takes_key=True)
+    assert thetas.shape == (4, 1)
+    assert np.isfinite(np.asarray(lls)).all()
+
+
 def test_supported_gate():
     assert pf_scan_supported(_pf(0.1))
     apf = llpf.AuxiliaryParticleFilter(pf=_pf(0.1))
