@@ -63,6 +63,17 @@ def pallas_normal(seed, shape, force_kernel: bool = False) -> jax.Array:
         key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
         return jax.random.normal(key, shape, jnp.float32)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    shape = tuple(shape)
+    if len(shape) != 2:
+        # Mosaic's prng_random_bits requires rank-2: generate a padded
+        # (8k, 128) plane and carve the requested shape out of it.
+        n = 1
+        for s in shape:
+            n *= s
+        rows = -(-n // 128)          # ceil(n / 128) lanes
+        rows = -(-rows // 8) * 8     # sublane-aligned
+        flat = pallas_normal(seed, (rows, 128), force_kernel=force_kernel)
+        return flat.reshape(-1)[:n].reshape(shape)
     return pl.pallas_call(
         _normal_kernel,
         out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
