@@ -284,7 +284,12 @@ def bench_ffbs(N=1000, M=1000, T=500):
     def make(Tn):
         _, us, ys = llpf.simulate(kf, 0.3 * jnp.ones((Tn, 1), jnp.float32),
                                   jax.random.PRNGKey(0))
-        run = jax.jit(lambda k: pf.smooth(us, ys, M=M, key=k)[0])
+        # sync on an on-device reduction of the full [T, M, nx] result: the
+        # axon relay fetches FRESH device arrays at only ~40 MB/s, so
+        # device_get'ing the trajectory itself attributes ~150 us/step of
+        # transport to the smoother (this hid the kernel's real speed in
+        # BENCH_r02's 5.1 G evals/s figure).
+        run = jax.jit(lambda k: pf.smooth(us, ys, M=M, key=k)[0].sum())
         return run, (jax.random.key(3, impl="rbg"),), Tn * M * N
 
     rate, dt = _tslope(make, T, 4 * T)
@@ -354,7 +359,7 @@ def bench_parallel_ukf(T=50_000, iters=2):
     )
     ys = jax.random.normal(jax.random.PRNGKey(0), (T, 2), dtype=jnp.float32)
     run = jax.jit(lambda ys: llpf.parallel_ukf_smooth(ukf, None, ys,
-                                                      iters=iters).xT)
+                                                      iters=iters).xT.sum())
     dt = _timeit(run, ys)
     return T / dt, dt
 
@@ -387,6 +392,11 @@ def main():
         kf8_rate, kf8_ll_ok = float("nan"), False
     ukf_rate, ukf_dt, ukf_bank_rate, ukf_fused_rate = bench_ukf()
     ffbs_rate, ffbs_dt, ffbs_mfu = bench_ffbs()
+    try:
+        # N-chunked kernel regime (VERDICT r2 #2): M=1000, N=65536
+        ffbs_lg_rate, _, _ = bench_ffbs(N=65536, M=1000, T=24)
+    except Exception:
+        ffbs_lg_rate = float("nan")
     pkf_speedup, pkf_seq, pkf_par = bench_parallel_kf()
     try:
         pukf_rate, pukf_dt = bench_parallel_ukf()
@@ -454,6 +464,7 @@ def main():
                 ukf_fused_rate / BASELINE_UKF_STEPS_PER_S, 3
             ),
             "ffbs_weight_evals_per_s_MN1000_T500": round(ffbs_rate, 1),
+            "ffbs_weight_evals_per_s_M1000_N65536": round(ffbs_lg_rate, 1),
             "parallel_kf_speedup_T1e5": round(pkf_speedup, 2),
             "parallel_kf_walltime_s_T1e5": round(pkf_par, 4),
             "ukf_bank1024_steps_per_s": round(ukf_bank_rate, 1),
