@@ -139,9 +139,11 @@ from .smoothing import (
     smoothed_trajs,
 )
 
-from .ops.pallas.ukf_scan import ukf_loglik_fused, ekf_loglik_fused
+from .ops.pallas.ukf_scan import (
+    ukf_loglik_fused, ekf_loglik_fused,
+    ukf_forward_trajectory_fused, ekf_forward_trajectory_fused)
 from .ops.pallas.pf_scan import (
-    pf_loglik_fused, pf_mean_fused, pf_scan_supported)
+    pf_loglik_fused, pf_mean_fused, pf_stats_fused, pf_scan_supported)
 from .parallel.temporal import (
     parallel_forward_trajectory,
     parallel_rts_smooth,

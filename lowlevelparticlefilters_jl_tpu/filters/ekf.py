@@ -102,13 +102,19 @@ class ExtendedKalmanFilter(AbstractKalmanFilter):
         return model.correct(self, state, u, y, p, t, R2=R2)
 
     # ------------------------------------------------------------------
-    def smooth(self, u, y, p=None, sol=None, **kwargs):
+    def smooth(self, u, y, p=None, sol=None, fused=False, **kwargs):
         """EKF-RTS smoother re-linearizing A at the smoothed point
-        (ekf.jl:193-225: ``A = Ajac(xT[t+1], u[t+1], ...)``)."""
+        (ekf.jl:193-225: ``A = Ajac(xT[t+1], u[t+1], ...)``).
+
+        ``fused=True``: forward pass via the whole-scan pallas kernel
+        (:meth:`forward_trajectory_fused`); opt-in — f32 and not
+        differentiable."""
         from ..trajectory import forward_trajectory
         from ..utils.solutions import KalmanSmoothingSolution
 
         p = self.p if p is None else p
+        if sol is None and fused:
+            sol = self.forward_trajectory_fused(u, y)
         if sol is None:
             sol = forward_trajectory(self, u, y, p, **kwargs)
         x, xt, R, Rt = sol.x, sol.xt, sol.R, sol.Rt
@@ -141,6 +147,15 @@ class ExtendedKalmanFilter(AbstractKalmanFilter):
         from ..ops.pallas.ukf_scan import ekf_loglik_fused
 
         return ekf_loglik_fused(self, ys, us)
+
+    def forward_trajectory_fused(self, us, ys):
+        """Full :class:`KalmanFilteringSolution` from the same whole-scan
+        pallas kernel as :meth:`loglik_fused` (per-step x/xt/R/Rt/e/S/K
+        solution planes); falls back to the XLA scan off-TPU or outside
+        the kernel's scope."""
+        from ..ops.pallas.ukf_scan import ekf_forward_trajectory_fused
+
+        return ekf_forward_trajectory_fused(self, us, ys)
 
     # -- simulation hooks (ekf.jl:227-272) -------------------------------
     def sample_initial(self, key, p=None, noise=True):

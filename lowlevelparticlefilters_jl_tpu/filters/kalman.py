@@ -224,14 +224,10 @@ class KalmanFilter(AbstractKalmanFilter):
         x, R, info = kf_correct(state.x, state.R, Ct, Dt, u, y, R2, R12)
         return KFState(x=x, R=R, t=state.t), info
 
-    def loglik_fused(self, ys, us=None):
-        """Whole-trajectory log-likelihood as ONE pallas kernel by
-        delegating to the EKF kernel with the (constant) system matrices
-        as traced callbacks (ops/pallas/ukf_scan.py::ekf_loglik_fused).
-        Falls back to the XLA scan for time-varying/callable matrices,
-        R12, traced alpha, or off-TPU."""
-        from ..ops.pallas.ukf_scan import ekf_loglik_fused
-        from ..trajectory import loglik as xla_loglik
+    def _fused_delegate(self):
+        """EKF wrapper for the fused whole-scan kernel: the (constant)
+        system matrices become traced callbacks.  None when out of
+        scope (time-varying/callable matrices, R12, traced alpha)."""
         from .ekf import make_ekf
 
         const = all(
@@ -241,7 +237,7 @@ class KalmanFilter(AbstractKalmanFilter):
         if not const or self.R12 is not None or not isinstance(
             self.alpha, (int, float)
         ):
-            return xla_loglik(self, us, ys)
+            return None
         A, B, C, D = self.A, self.B, self.C, self.D
 
         def dyn(x, u, p, t):
@@ -256,12 +252,37 @@ class KalmanFilter(AbstractKalmanFilter):
                 y = y + D @ u
             return y
 
-        ekf = make_ekf(
+        return make_ekf(
             dyn, meas, self.R1, self.R2, d0=self.d0, nu=max(self.nu, 0),
             ny=self.ny, Ts=self.Ts, alpha=self.alpha,
             Ajac=lambda x, u, p, t: A, Cjac=lambda x, u, p, t: C,
         )
+
+    def loglik_fused(self, ys, us=None):
+        """Whole-trajectory log-likelihood as ONE pallas kernel by
+        delegating to the EKF kernel with the (constant) system matrices
+        as traced callbacks (ops/pallas/ukf_scan.py::ekf_loglik_fused).
+        Falls back to the XLA scan for time-varying/callable matrices,
+        R12, traced alpha, or off-TPU."""
+        from ..ops.pallas.ukf_scan import ekf_loglik_fused
+        from ..trajectory import loglik as xla_loglik
+
+        ekf = self._fused_delegate()
+        if ekf is None:
+            return xla_loglik(self, us, ys)
         return ekf_loglik_fused(ekf, ys, us)
+
+    def forward_trajectory_fused(self, us, ys):
+        """Full :class:`KalmanFilteringSolution` via the fused EKF-kernel
+        delegation (per-step x/xt/R/Rt/e/S/K solution planes); falls
+        back to the XLA scan when the delegation is out of scope."""
+        from ..ops.pallas.ukf_scan import ekf_forward_trajectory_fused
+        from ..trajectory import forward_trajectory
+
+        ekf = self._fused_delegate()
+        if ekf is None:
+            return forward_trajectory(self, us, ys)
+        return ekf_forward_trajectory_fused(ekf, us, ys)
 
     # ------------------------------------------------------------------
     def measurement_fn(self) -> Callable:

@@ -206,8 +206,16 @@ class ParticleFilter(_ParticleCommon):
         o = object.__setattr__
         for name in ("dynamics_density", "measurement_density", "initial_density"):
             v = getattr(self, name)
-            if v is not None:
-                o(self, name, as_mvnormal(v))
+            if v is None:
+                continue
+            # Vector density objects (MvNormal, TupleProduct, ...) pass
+            # through — the reference's ParticleFilter accepts ANY
+            # density (PFtypes.jl measurement_density::Any); bare
+            # covariance arrays coerce to zero-mean Gaussians.
+            if (hasattr(v, "logpdf") and hasattr(v, "sample")
+                    and hasattr(v, "dim") and not hasattr(v, "shape")):
+                continue
+            o(self, name, as_mvnormal(v))
         if self.noise_backend not in ("threefry", "pallas"):
             raise ValueError("noise_backend must be 'threefry' or 'pallas'")
 

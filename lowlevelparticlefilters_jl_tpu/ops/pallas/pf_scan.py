@@ -134,10 +134,56 @@ def _jaxpr_affine_in_x(jaxpr) -> bool:
     return True
 
 
+def _meas_density_kernel_ok(d) -> bool:
+    """Measurement densities the kernel can trace in-kernel beyond the
+    Gaussian fast path: the scalar families of ops/distributions.py
+    (and TupleProducts thereof), restricted to *Python-scalar*
+    parameters so every constant folds at trace time (e.g. StudentT's
+    ``gammaln(df)`` must fold — Mosaic cannot lower ``lgamma``)."""
+    from ...ops import distributions as dist
+
+    if isinstance(d, dist.TupleProduct):
+        return all(_meas_density_kernel_ok(c) for c in d.dists)
+    scal = lambda *vs: all(isinstance(v, (int, float)) for v in vs)
+    if isinstance(d, dist.Normal):
+        return scal(d.mu, d.sigma)
+    if isinstance(d, dist.Laplace):
+        return scal(d.mu, d.b)
+    if isinstance(d, dist.StudentT):
+        return scal(d.df, d.mu, d.sigma)
+    if isinstance(d, dist.Uniform):
+        return scal(d.lo, d.hi)
+    if isinstance(d, dist.Binary):
+        return scal(d.a, d.b, d.pa)
+    if isinstance(d, dist.MixtureNormal):
+        return scal(d.p1, d.mu1, d.sigma1, d.mu2, d.sigma2)
+    return False
+
+
+def _flatten_density(d, ny):
+    """Trace ``e -> logpdf(e)`` (e: [ny] innovation) into a const-free
+    flat callable for in-kernel weight evaluation."""
+    e_ex = jnp.zeros((ny,), jnp.float32)
+    wrap = lambda e: jnp.asarray(d.logpdf(e), jnp.float32).reshape(1)
+    cc, tracer_consts = jax.closure_convert(wrap, e_ex)
+    closed = jax.make_jaxpr(cc)(e_ex, *tracer_consts)
+    lits = [jnp.asarray(c) for c in closed.consts]
+    consts = [*lits, *tracer_consts]
+    n_lit = len(lits)
+
+    def flat(e, *cs):
+        (out,) = jax.core.eval_jaxpr(closed.jaxpr, cs[:n_lit], e,
+                                     *cs[n_lit:])
+        return out
+
+    return flat, consts
+
+
 def pf_scan_supported(pf) -> bool:
-    """Static admission: bootstrap ParticleFilter, Gaussian densities,
-    systematic resampling, small state/measurement dims, cloud planes
-    inside the VMEM envelope."""
+    """Static admission: bootstrap ParticleFilter, Gaussian dynamics/
+    initial densities, Gaussian OR scalar-family measurement density
+    (``_meas_density_kernel_ok``), systematic resampling, small state/
+    measurement dims, cloud planes inside the VMEM envelope."""
     from ...filters.particle import ParticleFilter
     from ...ops.mvnormal import MvNormal
 
@@ -145,10 +191,12 @@ def pf_scan_supported(pf) -> bool:
         return False
     if pf.resampling_strategy != "systematic":
         return False
-    for d in (pf.dynamics_density, pf.measurement_density,
-              pf.initial_density):
+    for d in (pf.dynamics_density, pf.initial_density):
         if not isinstance(d, MvNormal):
             return False
+    if not (isinstance(pf.measurement_density, MvNormal)
+            or _meas_density_kernel_ok(pf.measurement_density)):
+        return False
     nx = pf.nx
     # routing high-water plus the persistent cloud/weight planes and the
     # blocked input sequences; v5e VMEM is 128M (see resample_route.py)
@@ -192,8 +240,24 @@ def pf_mean_fused(pf, u, y, seed, x0: Optional[jax.Array] = None,
     return means, ll, nres
 
 
+def pf_stats_fused(pf, u, y, seed, x0: Optional[jax.Array] = None,
+                   force_kernel: bool = False):
+    """Filtered mean ``[T, nx]`` AND covariance ``[T, nx, nx]``
+    trajectories plus ``(ll, n_resamples)`` from the fused whole-scan
+    kernel — the `weighted_mean` + `weighted_cov` recipe
+    (PFtypes.jl weighted_mean/weighted_cov) at in-VMEM scan speed; the
+    mean/ribbon bands most PF users plot without materializing the
+    [T, N, nx] cloud.  The kernel accumulates the raw second moments
+    ``Σ wᵉ·x_d·x_e`` per (d ≤ e) pair next to the means; the central
+    covariance ``E[xxᵀ] − m mᵀ`` is formed in XLA afterwards."""
+    means, covs, ll, nres = _pf_scan_fused(pf, u, y, seed, x0,
+                                           force_kernel, False,
+                                           want_means=True, want_cov=True)
+    return means, covs, ll, nres
+
+
 def _pf_scan_fused(pf, u, y, seed, x0, force_kernel, _debug_no_resample,
-                   want_means: bool):
+                   want_means: bool, want_cov: bool = False):
     import os
 
     dbg = os.environ.get("PF_SCAN_DEBUG", "")
@@ -205,6 +269,10 @@ def _pf_scan_fused(pf, u, y, seed, x0, force_kernel, _debug_no_resample,
         if want_means:
             sol = pf.forward_trajectory(u, y, key=key)
             means = jnp.einsum("tn,tnd->td", sol.we, sol.x)
+            if want_cov:
+                d = sol.x - means[:, None, :]
+                covs = jnp.einsum("tn,tnd,tne->tde", sol.we, d, d)
+                return means, covs, sol.ll, jnp.float32(jnp.nan)
             return means, sol.ll, jnp.float32(jnp.nan)
         return pf.loglik(u, y, key=key), jnp.float32(jnp.nan)
 
@@ -216,14 +284,25 @@ def _pf_scan_fused(pf, u, y, seed, x0, force_kernel, _debug_no_resample,
     Ts = float(pf.Ts)
     thresh = float(pf.resample_threshold)
 
+    from ...ops.mvnormal import MvNormal
+
     L1 = jnp.asarray(pf.dynamics_density.chol(), jnp.float32)
     mu1 = jnp.asarray(pf.dynamics_density.mean, jnp.float32).reshape(1, nx)
-    R2 = jnp.asarray(pf.measurement_density.cov, jnp.float32)
-    L2 = jnp.linalg.cholesky(R2)
-    L2inv = jax.scipy.linalg.solve_triangular(
-        L2, jnp.eye(ny, dtype=jnp.float32), lower=True)
-    mu2 = jnp.asarray(pf.measurement_density.mean, jnp.float32).reshape(1, ny)
-    cst = -0.5 * (ny * _LOG2PI) - jnp.sum(jnp.log(jnp.diagonal(L2)))
+    gauss_meas = isinstance(pf.measurement_density, MvNormal)
+    if gauss_meas:
+        R2 = jnp.asarray(pf.measurement_density.cov, jnp.float32)
+        L2 = jnp.linalg.cholesky(R2)
+        L2inv = jax.scipy.linalg.solve_triangular(
+            L2, jnp.eye(ny, dtype=jnp.float32), lower=True)
+        mu2 = jnp.asarray(pf.measurement_density.mean,
+                          jnp.float32).reshape(1, ny)
+        w_flat, w_consts = None, []
+    else:
+        # traced user density: weight = logpdf(y - yhat) per lane
+        L2inv = jnp.eye(ny, dtype=jnp.float32)   # placeholder input
+        mu2 = jnp.zeros((1, ny), jnp.float32)    # placeholder input
+        w_flat, w_consts = _flatten_density(pf.measurement_density, ny)
+    nw = len(w_consts)
     L0 = jnp.asarray(pf.initial_density.chol(), jnp.float32)
     mu0 = jnp.asarray(pf.initial_density.mean, jnp.float32).reshape(1, nx)
 
@@ -292,11 +371,13 @@ def _pf_scan_fused(pf, u, y, seed, x0, force_kernel, _debug_no_resample,
 
     kernel = functools.partial(
         _pf_kernel, T=T, TB=TB, LB=LB, N=N, NL=NL, NB=NB, nx=nx, ny=ny,
-        nu=nu, Ts=Ts, thresh=thresh, nf=nf, ng=ng, f_flat=f_flat,
-        g_flat=g_flat, use_prng=_on_tpu() and "noprng" not in dbg,
+        nu=nu, Ts=Ts, thresh=thresh, nf=nf, ng=ng, nw=nw, f_flat=f_flat,
+        g_flat=g_flat, w_flat=w_flat, gauss_meas=gauss_meas,
+        use_prng=_on_tpu() and "noprng" not in dbg,
         has_x0=has_x0, no_resample=_debug_no_resample, dbg=dbg,
-        affine=affine, want_means=want_means)
-    consts = [jnp.asarray(c) for c in [*f_consts, *g_consts]]
+        affine=affine, want_means=want_means, want_cov=want_cov)
+    nmom = nx + (nx * (nx + 1)) // 2 if want_cov else nx
+    consts = [jnp.asarray(c) for c in [*f_consts, *g_consts, *w_consts]]
     out_shape = [
         jax.ShapeDtypeStruct((1, 1), jnp.float32),
         jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -311,9 +392,9 @@ def _pf_scan_fused(pf, u, y, seed, x0, force_kernel, _debug_no_resample,
         pltpu.SMEM((2,), jnp.float32),          # ll, n_resamples
     ]
     if want_means:
-        out_shape.append(jax.ShapeDtypeStruct((TB, nx, LB), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((TB, nmom, LB), jnp.float32))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        scratch.append(pltpu.VMEM((nx, 8, LB), jnp.float32))  # mean acc
+        scratch.append(pltpu.VMEM((nmom, 8, LB), jnp.float32))  # moment acc
     with jax.default_matmul_precision("highest"):
         outs = pl.pallas_call(
             kernel,
@@ -330,24 +411,38 @@ def _pf_scan_fused(pf, u, y, seed, x0, force_kernel, _debug_no_resample,
           L2inv, mu2, L0, mu0, x0p, ab, *consts)
     ll, nresamp = outs[0], outs[1]
     if want_means:
-        means = outs[2].transpose(1, 0, 2).reshape(nx, Tpad).T[:T]
+        mom = outs[2].transpose(1, 0, 2).reshape(nmom, Tpad).T[:T]
+        means = mom[:, :nx]
+        if want_cov:
+            raw = mom[:, nx:]  # central moments (centered in-kernel)
+            covs = jnp.zeros((T, nx, nx), means.dtype)
+            k = 0
+            for d in range(nx):
+                for e in range(d, nx):
+                    covs = covs.at[:, d, e].set(raw[:, k])
+                    if e != d:
+                        covs = covs.at[:, e, d].set(raw[:, k])
+                    k += 1
+            return means, covs, ll[0, 0], nresamp[0, 0]
         return means, ll[0, 0], nresamp[0, 0]
     return ll[0, 0], nresamp[0, 0]
 
 
 def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
                mu2_ref, L0_ref, mu0_ref, x0_ref, ab_ref, *rest, T, TB, LB, N, NL,
-               NB, nx, ny, nu, Ts, thresh, nf, ng, f_flat, g_flat,
-               use_prng, has_x0, no_resample=False, dbg="", affine=False,
-               want_means=False):
-    const_refs = rest[:nf + ng]
+               NB, nx, ny, nu, Ts, thresh, nf, ng, nw, f_flat, g_flat,
+               w_flat, gauss_meas, use_prng, has_x0, no_resample=False,
+               dbg="", affine=False, want_means=False, want_cov=False):
+    nmom = nx + (nx * (nx + 1)) // 2 if want_cov else nx
+    const_refs = rest[:nf + ng + nw]
     if want_means:
         (ll_ref, nres_ref, mout_ref, xpl_ref, w_ref, acc_ref,
-         macc_ref) = rest[nf + ng:]
+         macc_ref) = rest[nf + ng + nw:]
     else:
-        ll_ref, nres_ref, xpl_ref, w_ref, acc_ref = rest[nf + ng:]
+        ll_ref, nres_ref, xpl_ref, w_ref, acc_ref = rest[nf + ng + nw:]
     fcs = [c[:] for c in const_refs[:nf]]
-    gcs = [c[:] for c in const_refs[nf:]]
+    gcs = [c[:] for c in const_refs[nf:nf + ng]]
+    wcs = [c[:] for c in const_refs[nf + ng:]]
     L1 = L1_ref[...]
     mu1 = mu1_ref[...]
     L2i = L2i_ref[...]
@@ -447,6 +542,8 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
 
         # ---- correct: weight the CURRENT cloud (filtering.jl:164-174,
         # correct-then-predict order of filtering.jl:181-191) ----------
+        Wv = (jax.vmap(lambda ev: w_flat(ev, *wcs), in_axes=1, out_axes=1)
+              if not gauss_meas else None)
         if affine:
             # y_hat[e] = sum_j H[e,j] x[j] + d[e] as scalar-x-plane
             # combos on the full [8, NL] planes — no row loop, no dots
@@ -456,26 +553,41 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
                 for j in range(nx):
                     acc = acc + Hv(e, j) * xpl_ref[j]
                 yhp.append(acc)
-            quad = jnp.zeros((8, NL), jnp.float32)
-            for d in range(ny):
-                z = jnp.zeros((8, NL), jnp.float32)
-                for e in range(d + 1):                       # L2i lower-tri
-                    z = z + L2i[d, e] * (
-                        (y2[0, e] - mu2[0, e]) - yhp[e])
-                quad = quad + z * z
-            logp = cst - 0.5 * quad                          # [8, NL]
+            if gauss_meas:
+                quad = jnp.zeros((8, NL), jnp.float32)
+                for d in range(ny):
+                    z = jnp.zeros((8, NL), jnp.float32)
+                    for e in range(d + 1):                   # L2i lower-tri
+                        z = z + L2i[d, e] * (
+                            (y2[0, e] - mu2[0, e]) - yhp[e])
+                    quad = quad + z * z
+                logp = cst - 0.5 * quad                      # [8, NL]
+            else:
+                # traced user density per sublane row: logpdf(y - yhat)
+                logp_rows = []
+                for srow in range(8):
+                    e_row = jnp.concatenate(
+                        [y2[0, e] - yhp[e][srow:srow + 1, :]
+                         for e in range(ny)], 0)             # [ny, NL]
+                    logp_rows.append(Wv(e_row))              # [1, NL]
+                logp = jnp.concatenate(logp_rows, axis=0)    # [8, NL]
         else:
             gfn = (lambda xm: xm[:ny]) if "nocall" in dbg else Gv
             logp_rows = []
             for yh in _rows(gfn, ny):                        # [ny, NL] each
-                quad_r = jnp.zeros((1, NL), jnp.float32)
-                for d in range(ny):
-                    zrow = jnp.zeros((1, NL), jnp.float32)
-                    for e in range(d + 1):                   # L2i lower-tri
-                        zrow = zrow + L2i[d, e] * (
-                            (y2[0, e] - mu2[0, e]) - yh[e:e + 1, :])
-                    quad_r = quad_r + zrow * zrow
-                logp_rows.append(cst - 0.5 * quad_r)
+                if gauss_meas:
+                    quad_r = jnp.zeros((1, NL), jnp.float32)
+                    for d in range(ny):
+                        zrow = jnp.zeros((1, NL), jnp.float32)
+                        for e in range(d + 1):               # L2i lower-tri
+                            zrow = zrow + L2i[d, e] * (
+                                (y2[0, e] - mu2[0, e]) - yh[e:e + 1, :])
+                        quad_r = quad_r + zrow * zrow
+                    logp_rows.append(cst - 0.5 * quad_r)
+                else:
+                    e_row = jnp.concatenate(
+                        [y2[0, e] - yh[e:e + 1, :] for e in range(ny)], 0)
+                    logp_rows.append(Wv(e_row))
             logp = jnp.concatenate(logp_rows, axis=0)        # [8, NL]
 
         # missing measurement: skip the weight update (PFtypes.jl:109)
@@ -502,13 +614,29 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
             acc_ref[0] = acc_ref[0] + ll_t
 
         if want_means:
-            # filtered mean Σ wᵉ·x per dim, accumulated into this
-            # block's one-hot lane slot (flushed to mout_ref per block)
+            # filtered moments Σ wᵉ·x (and Σ wᵉ·x_d·x_e for the cov
+            # pairs) accumulated into this block's one-hot lane slot
+            # (flushed to mout_ref per block)
             @pl.when(valid_t)
             def _commit_means():
+                mds = []
                 for d in range(nx):
                     md = jnp.sum(we * xpl_ref[d])
+                    mds.append(md)
                     macc_ref[d, 0:1, :] = macc_ref[d, 0:1, :] + md * maskf
+                if want_cov:
+                    # CENTRAL second moments Σ wᵉ(x_d−m_d)(x_e−m_e):
+                    # the raw-moment form E[xx]−mmᵀ cancels catastroph-
+                    # ically in f32 when |m| >> σ; the step mean is
+                    # already in hand, so center before accumulating.
+                    k = nx
+                    for d in range(nx):
+                        xd = xpl_ref[d] - mds[d]
+                        for e in range(d, nx):
+                            s2 = jnp.sum(we * xd * (xpl_ref[e] - mds[e]))
+                            macc_ref[k, 0:1, :] = (macc_ref[k, 0:1, :]
+                                                   + s2 * maskf)
+                            k += 1
 
         if not no_resample:
             @pl.when(valid_t & do)
@@ -561,7 +689,7 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
         ublk = usb_ref[b]
         ablk = ab_ref[b]
         if want_means:
-            for d in range(nx):
+            for d in range(nmom):
                 macc_ref[d] = jnp.zeros((8, LB), jnp.float32)
 
         def inner(s, c):
@@ -571,7 +699,7 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
         out = jax.lax.fori_loop(0, LB, inner, carry)
         if want_means:
             mout_ref[b] = jnp.concatenate(
-                [macc_ref[d, 0:1, :] for d in range(nx)], 0)
+                [macc_ref[d, 0:1, :] for d in range(nmom)], 0)
         return out
 
     jax.lax.fori_loop(0, TB, block, jnp.int32(0))

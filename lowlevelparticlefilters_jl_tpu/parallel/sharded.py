@@ -149,8 +149,10 @@ def _resample_distributed(state, pf, axis_name, force_resample=False):
     If any shard's offspring slots escape its ±1 window (weight skew > one
     shard's worth — impossible once Neff-triggered resampling keeps weights
     balanced, but possible in adversarial inputs), every shard detects it
-    via a psum'd flag and falls back to the exact gather-to-replicated path
-    under `lax.cond`.
+    via a psum'd flag and `lax.cond`s into a ring-rotation exchange that
+    serves arbitrary skew in ≤ S-1 neighbor hops with O(M_loc) peak
+    memory (see ``fallback`` below) — no gather-to-replicated [N, nx]
+    block anywhere.
 
     Returns ``(x_out, w, we, key)`` like :func:`_resample_global`.
     """
@@ -221,15 +223,49 @@ def _resample_distributed(state, pf, axis_name, force_resample=False):
         return out
 
     def fallback(_):
-        # exact gather-to-replicated resample of the same (r, K) stream
-        we_all = jax.lax.all_gather(state.we, axis_name, tiled=True)
-        bins = jnp.cumsum(we_all)
-        Kg = jnp.clip(jnp.ceil(bins * N / total - r), 0, N).astype(jnp.int32)
-        hist = jnp.zeros((N + 1,), jnp.int32).at[Kg].add(1)
-        j = jnp.clip(jnp.cumsum(hist)[:-1], 0, N - 1)
-        x_all = jax.lax.all_gather(state.x, axis_name, tiled=True)
-        j_loc = jax.lax.dynamic_slice_in_dim(j, shard * M_loc, M_loc)
-        return x_all[j_loc]
+        """Ring-rotation exchange for arbitrary weight skew: rotate each
+        shard's (particles, slot boundaries) one neighbor per hop and let
+        every destination pull the output slots the visiting segment
+        owns.  Worst case S-1 hops of [M_loc, nx] ppermutes — bandwidth-
+        equal to an all-gather but with O(M_loc) peak memory (no
+        [N, nx] replicated block, the thing that died at N ≈ 1e6) and
+        M_loc-sized counting sorts instead of one O(N) serializing
+        scatter; a psum'd coverage flag exits the loop as soon as every
+        slot is served (2-3 hops under mild skew)."""
+        s0 = shard * M_loc
+        g = s0 + jnp.arange(M_loc, dtype=jnp.int32)
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+        def body(carry):
+            out, covered, xq, Kq, baseq, h, done = carry
+            # owner(g) = #{i : K_i <= g} within MY slot range, via the
+            # counting-sort histogram (no searchsorted — TPU-hostile)
+            Kw = jnp.clip(Kq - s0, 0, M_loc)
+            hist = jnp.zeros((M_loc + 1,), jnp.int32).at[Kw].add(1)
+            j = jnp.clip(jnp.cumsum(hist)[:-1], 0, M_loc - 1)
+            valid = ((g >= baseq[0]) & (g < Kq[-1])
+                     & jnp.logical_not(covered))
+            out = out + jnp.where(valid[:, None], xq[j], 0.0)
+            covered = covered | valid
+            xq = jax.lax.ppermute(xq, axis_name, perm)
+            Kq = jax.lax.ppermute(Kq, axis_name, perm)
+            baseq = jax.lax.ppermute(baseq, axis_name, perm)
+            ndone = jax.lax.psum(jnp.all(covered).astype(jnp.int32),
+                                 axis_name)
+            return (out, covered, xq, Kq, baseq, h + 1,
+                    ndone >= n_shards)
+
+        def cond(carry):
+            *_, h, done = carry
+            return (h < n_shards) & jnp.logical_not(done)
+
+        out, covered, *_ = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros_like(state.x),
+             jnp.zeros((M_loc,), bool),
+             state.x, K, K_base.reshape(1), jnp.int32(0),
+             jnp.asarray(False)))
+        return out
 
     x_res = jax.lax.cond(overflow, fallback, distributed, operand=None)
     x_out = jnp.where(do, x_res, state.x)

@@ -445,7 +445,9 @@ class TestDistributedResample:
     def test_skewed_weights_fall_back_exactly(self):
         """One shard holding ~all the weight forces offspring outside the
         ±1-shard window — the psum'd overflow flag must route every shard
-        to the exact gather path (identical output)."""
+        to the ring-rotation exchange, whose output must be identical to
+        the gather-to-replicated oracle (full S−1-hop case: every
+        destination's offspring live on the last shard)."""
         from lowlevelparticlefilters_jl_tpu.parallel.sharded import (
             particle_mesh, shard_pf_state,
         )

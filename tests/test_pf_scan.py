@@ -169,6 +169,104 @@ def test_mean_fused_matches_xla():
     assert float(nres) == 0.0
 
 
+class TestNonGaussianMeasurementDensity:
+    """The kernel traces scalar-family measurement densities
+    (ops/distributions.py) in-kernel — the reference's arbitrary-density
+    support (PFtypes.jl measurement_likelihood) on the fused path."""
+
+    def _pf_d(self, d, th=0.0):
+        return llpf.ParticleFilter(
+            N=N, dynamics=lambda x, u, p, t: A @ x + B @ u,
+            measurement=lambda x, u, p, t: C @ x, dynamics_density=R1z,
+            measurement_density=d,
+            initial_density=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)),
+            resample_threshold=th)
+
+    @pytest.mark.parametrize("make_d", [
+        lambda: llpf.TupleProduct([llpf.StudentT(3.0, 0.0, 0.3),
+                                   llpf.StudentT(5.0, 0.0, 0.3)]),
+        lambda: llpf.TupleProduct([llpf.Laplace(0.0, 0.3),
+                                   llpf.MixtureNormal(0.9, 0.0, 0.3,
+                                                      0.0, 3.0)]),
+    ])
+    def test_matches_xla_no_resample(self, make_d):
+        d = make_d()
+        pf = self._pf_d(d)
+        assert pf_scan_supported(pf)
+        x0, s0 = _shared_state()
+        T = 140
+        us, ys = _data(T)
+        ll_xla = float(pf.loglik(us, ys, state0=s0))
+        ll_ker, nres = pf_loglik_fused(pf, us, ys, 0, x0=x0,
+                                       force_kernel=True)
+        assert float(nres) == 0.0
+        np.testing.assert_allclose(float(ll_ker), ll_xla, rtol=1e-5)
+
+    def test_matches_xla_with_resampling(self):
+        d = llpf.TupleProduct([llpf.StudentT(4.0, 0.0, 0.2),
+                               llpf.StudentT(4.0, 0.0, 0.2)])
+        pf = self._pf_d(d, th=1.0)
+        x0, s0 = _shared_state()
+        us, ys = _data(60)
+        ll_xla = float(pf.loglik(us, ys, state0=s0))
+        ll_ker, nres = pf_loglik_fused(pf, us, ys, 0, x0=x0,
+                                       force_kernel=True)
+        assert float(nres) == 60.0
+        # resample draw streams differ (r=0.5 vs PRNG) — statistical
+        # agreement only
+        np.testing.assert_allclose(float(ll_ker), ll_xla, rtol=2e-2)
+
+    def test_array_params_not_admitted(self):
+        """Array-valued density parameters cannot fold at trace time
+        (StudentT's gammaln would land in the kernel) — admission must
+        reject them."""
+        d = llpf.TupleProduct([llpf.StudentT(jnp.asarray(3.0), 0.0, 0.3),
+                               llpf.StudentT(3.0, 0.0, 0.3)])
+        pf = self._pf_d(d)
+        assert not pf_scan_supported(pf)
+
+
+def test_stats_fused_matches_xla():
+    """pf_stats_fused: the in-kernel raw second moments must reproduce
+    the weighted covariance of the XLA forward trajectory (zero noise,
+    no resample, shared x0 — deterministic)."""
+    from lowlevelparticlefilters_jl_tpu.ops.pallas.pf_scan import (
+        pf_stats_fused)
+
+    pf = _pf(0.0)
+    x0, s0 = _shared_state()
+    T = 140
+    us, ys = _data(T)
+    sol = pf.forward_trajectory(us, ys, state0=s0)
+    want_m = jnp.einsum("tn,tnd->td", sol.we, sol.x)
+    dx = sol.x - want_m[:, None, :]
+    want_c = jnp.einsum("tn,tnd,tne->tde", sol.we, dx, dx)
+    means, covs, ll_f, nres = pf_stats_fused(pf, us, ys, 0, x0=x0,
+                                             force_kernel=True)
+    assert means.shape == (T, 2) and covs.shape == (T, 2, 2)
+    np.testing.assert_allclose(np.asarray(means), np.asarray(want_m),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(covs), np.asarray(want_c),
+                               rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(float(ll_f), float(sol.ll), rtol=1e-5)
+
+
+def test_stats_fused_xla_fallback():
+    """Off-TPU (no force): the fallback path returns weighted mean/cov
+    from the XLA forward trajectory."""
+    from lowlevelparticlefilters_jl_tpu.ops.pallas.pf_scan import (
+        pf_stats_fused)
+
+    pf = _pf(0.5)
+    us, ys = _data(24)
+    means, covs, ll, _ = pf_stats_fused(pf, us, ys, 0)
+    assert means.shape == (24, 2) and covs.shape == (24, 2, 2)
+    # covariances are PSD
+    ev = np.linalg.eigvalsh(np.asarray(covs))
+    assert ev.min() > -1e-6
+    assert np.isfinite(float(ll))
+
+
 def test_pmmh_composition():
     """docs/param_est_bayesian.md fused-PMMH recipe: pf_loglik_fused
     composes inside the metropolis scan (off-TPU it silently runs the

@@ -131,6 +131,107 @@ class TestFusedEKFKernel:
         assert abs(ll_ker - ll_xla) < 1e-6
 
 
+class TestFusedTrajectory:
+    """Full-solution output from the fused kernels (round-2 review weak
+    #7: the fused path returned ll only) — per-step x/xt/R/Rt/e/S/K must
+    match the XLA `forward_trajectory` exactly."""
+
+    def _check(self, sol_k, sol_x, rtol=2e-4, atol=1e-5):
+        for f in ("x", "xt", "e"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sol_k, f)), np.asarray(getattr(sol_x, f)),
+                rtol=rtol, atol=atol, err_msg=f)
+        for f in ("R", "Rt", "S", "K"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sol_k, f)), np.asarray(getattr(sol_x, f)),
+                rtol=rtol, atol=atol, err_msg=f)
+        assert abs(float(sol_k.ll) - float(sol_x.ll)) / abs(
+            float(sol_x.ll)) < 1e-5
+        assert np.all(np.asarray(sol_k.ok))
+
+    def test_ukf_trajectory_matches_xla(self):
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.ukf_scan import (
+            ukf_forward_trajectory_fused)
+
+        ukf = llpf.make_ukf(lambda x, u, p, t: A @ x + B @ u,
+                            lambda x, u, p, t: C @ x, R1, R2, ny=2, nu=2)
+        T = 173  # non-multiple of 128: padding steps must not leak
+        ys = jax.random.normal(jax.random.PRNGKey(20), (T, 2), jnp.float32)
+        us = 0.3 * jax.random.normal(jax.random.PRNGKey(21), (T, 2),
+                                     jnp.float32)
+        sol_x = llpf.forward_trajectory(ukf, us, ys)
+        sol_k = ukf_forward_trajectory_fused(ukf, us, ys, force_kernel=True)
+        self._check(sol_k, sol_x)
+
+    def test_ekf_trajectory_matches_xla_nonlinear(self):
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.ukf_scan import (
+            ekf_forward_trajectory_fused)
+
+        def dyn(x, u, p, t):
+            return A @ x + 0.01 * jnp.sin(x)
+
+        ekf = llpf.make_ekf(dyn, lambda x, u, p, t: C @ x, R1, R2,
+                            d0=llpf.MvNormal(jnp.zeros(4), 0.5 * jnp.eye(4)),
+                            nu=0, ny=2)
+        ys = jax.random.normal(jax.random.PRNGKey(22), (150, 2), jnp.float32)
+        sol_x = llpf.forward_trajectory(ekf, None, ys)
+        sol_k = ekf_forward_trajectory_fused(ekf, None, ys, force_kernel=True)
+        self._check(sol_k, sol_x)
+
+    def test_trajectory_feeds_rts_smoother(self):
+        """The fused solution must be a drop-in for the RTS smoother."""
+        ukf = llpf.make_ukf(lambda x, u, p, t: A @ x,
+                            lambda x, u, p, t: C @ x, R1, R2, ny=2, nu=0)
+        ys = jax.random.normal(jax.random.PRNGKey(23), (100, 2), jnp.float32)
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.ukf_scan import (
+            ukf_forward_trajectory_fused)
+        sol_k = ukf_forward_trajectory_fused(ukf, None, ys, force_kernel=True)
+        sm_k = ukf.smooth(None, ys, sol=sol_k)
+        sm_x = ukf.smooth(None, ys, sol=llpf.forward_trajectory(ukf, None, ys))
+        np.testing.assert_allclose(np.asarray(sm_k.xT), np.asarray(sm_x.xT),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_fallback_off_scope(self):
+        """Out-of-scope configs transparently return the XLA solution."""
+        ukf = llpf.make_ukf(lambda x, u, p, t, w: A @ x + w,
+                            lambda x, u, p, t: C @ x, R1, R2, ny=2, nu=0,
+                            augmented_dynamics=True)
+        ys = jax.random.normal(jax.random.PRNGKey(24), (60, 2), jnp.float32)
+        sol = ukf.forward_trajectory_fused(None, ys)
+        sol_x = llpf.forward_trajectory(ukf, None, ys)
+        np.testing.assert_allclose(np.asarray(sol.xt), np.asarray(sol_x.xt))
+
+    def test_smooth_fused_kwarg(self):
+        """smooth(..., fused=True) routes the forward pass through the
+        fused kernel (off-TPU: transparent XLA fallback — identical)."""
+        ukf = llpf.make_ukf(lambda x, u, p, t: A @ x,
+                            lambda x, u, p, t: C @ x, R1, R2, ny=2, nu=0)
+        ys = jax.random.normal(jax.random.PRNGKey(27), (80, 2), jnp.float32)
+        sm_f = ukf.smooth(None, ys, fused=True)
+        sm_x = ukf.smooth(None, ys)
+        np.testing.assert_allclose(np.asarray(sm_f.xT), np.asarray(sm_x.xT),
+                                   rtol=1e-6)
+
+    def test_kf_delegation_trajectory(self):
+        A4 = jnp.array([[0.97, -0.097], [0.097, 0.97]], jnp.float32)
+        B4 = jnp.array([[0.1], [0.0]], jnp.float32)
+        kf = llpf.KalmanFilter(A4, B4, jnp.eye(2, dtype=jnp.float32), 0,
+                               0.01 * jnp.eye(2, dtype=jnp.float32),
+                               0.1 * jnp.eye(2, dtype=jnp.float32))
+        T = 90
+        us = 0.3 * jax.random.normal(jax.random.PRNGKey(25), (T, 1),
+                                     jnp.float32)
+        _, _, ys = llpf.simulate(kf, us, jax.random.PRNGKey(26))
+        # off-TPU the method falls back transparently (exact); force the
+        # kernel through the delegated EKF for the real check
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.ukf_scan import (
+            ekf_forward_trajectory_fused)
+        ekf = kf._fused_delegate()
+        sol_k = ekf_forward_trajectory_fused(ekf, us, ys, force_kernel=True)
+        sol_x = llpf.forward_trajectory(kf, us, ys)
+        self._check(sol_k, sol_x)
+
+
 class TestFusedKFDelegation:
     def test_kf_loglik_fused_matches_xla(self):
         A4 = jnp.array([[0.97, -0.097], [0.097, 0.97]], jnp.float32)
