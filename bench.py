@@ -357,11 +357,15 @@ def bench_parallel_ukf(T=50_000, iters=2):
         lambda x, u, p, t: C @ x,
         R1, R2, ny=2, nu=0,
     )
-    ys = jax.random.normal(jax.random.PRNGKey(0), (T, 2), dtype=jnp.float32)
-    run = jax.jit(lambda ys: llpf.parallel_ukf_smooth(ukf, None, ys,
-                                                      iters=iters).xT.sum())
-    dt = _timeit(run, ys)
-    return T / dt, dt
+    def make(Tn):
+        ys = jax.random.normal(jax.random.PRNGKey(0), (Tn, 2),
+                               dtype=jnp.float32)
+        run = jax.jit(lambda ys: llpf.parallel_ukf_smooth(
+            ukf, None, ys, iters=iters).xT.sum())
+        return run, (ys,), Tn
+
+    rate, dt = _tslope(make, T, 4 * T)
+    return rate, dt
 
 
 def bench_parallel_kf(T=100_000):

@@ -88,6 +88,45 @@ def tri_solve(L: jax.Array, B: jax.Array, *, lower: bool = True) -> jax.Array:
     return jax.scipy.linalg.solve_triangular(L, B, lower=lower)
 
 
+def _lu_solve_unrolled(M: jax.Array, B: jax.Array) -> jax.Array:
+    """Unrolled Gaussian elimination WITHOUT pivoting; batched over
+    leading axes as plain elementwise arithmetic.  For matrices whose
+    leading principal minors are safely nonsingular — e.g. ``I + C J``
+    with C, J PSD (all eigenvalues ≥ 1), the associative-scan combine's
+    system — no-pivot elimination is stable; it is NOT a general solve.
+    ``B``: [..., n, m]."""
+    n = M.shape[-1]
+    rowsM = [M[..., i, :] for i in range(n)]
+    rowsB = [B[..., i, :] for i in range(n)]
+    for k in range(n):
+        pivM = rowsM[k]
+        pivB = rowsB[k]
+        piv = pivM[..., k:k + 1]
+        for i in range(k + 1, n):
+            f = rowsM[i][..., k:k + 1] / piv
+            rowsM[i] = rowsM[i] - f * pivM
+            rowsB[i] = rowsB[i] - f * pivB
+    X: list = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = rowsB[i]
+        for j in range(i + 1, n):
+            acc = acc - rowsM[i][..., j:j + 1] * X[j]
+        X[i] = acc / rowsM[i][..., i:i + 1]
+    return jnp.stack(X, -2)
+
+
+def solve_nopivot(M: jax.Array, B: jax.Array) -> jax.Array:
+    """General linear solve M X = B with the small-dimension unrolled
+    no-pivot fast path (TPU: batched tiny `jnp.linalg.solve` lowers to a
+    sequential pivoted LU with dynamic slicing — pathological inside
+    `associative_scan` combines).  Falls back to `jnp.linalg.solve`
+    above the unroll bound.  Caller must guarantee pivot safety (see
+    :func:`_lu_solve_unrolled`)."""
+    if M.shape[-1] <= _UNROLL_N:
+        return _lu_solve_unrolled(M, B)
+    return jnp.linalg.solve(M, B)
+
+
 def chol_solve(L: jax.Array, B: jax.Array) -> jax.Array:
     """Solve (L L^T) X = B given lower Cholesky factor L."""
     y = tri_solve(L, B, lower=True)

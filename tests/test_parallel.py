@@ -475,6 +475,76 @@ class TestDistributedResample:
         np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_g), atol=1e-12)
 
 
+class TestLaneMajorCombines:
+    """The lane-major (SoA) associative-scan combines must reproduce the
+    batched-matrix (AoS) reference combines exactly — the AoS versions
+    are kept as the readable oracle (temporal.py: on TPU the batched
+    4x4 dot_generals pad to MXU tiles, ~20x off roofline)."""
+
+    def test_filter_combine_equivalence(self):
+        from lowlevelparticlefilters_jl_tpu.parallel import temporal as tp
+        rng = np.random.default_rng(3)
+        B, nx = 17, 4
+
+        def mk():
+            A = jnp.asarray(rng.normal(size=(B, nx, nx)) * 0.3)
+            b = jnp.asarray(rng.normal(size=(B, nx)))
+            Ch = jnp.asarray(rng.normal(size=(B, nx, nx)) * 0.3)
+            C = Ch @ jnp.swapaxes(Ch, -1, -2) + 0.1 * jnp.eye(nx)
+            eta = jnp.asarray(rng.normal(size=(B, nx)))
+            Jh = jnp.asarray(rng.normal(size=(B, nx, nx)) * 0.3)
+            J = Jh @ jnp.swapaxes(Jh, -1, -2) + 0.1 * jnp.eye(nx)
+            return A, b, C, eta, J
+
+        e1, e2 = mk(), mk()
+        want = tp._filter_combine(e1, e2)
+        soa = lambda e: (tp._m_split(e[0]), tp._v_split(e[1]),
+                         tp._m_split(e[2]), tp._v_split(e[3]),
+                         tp._m_split(e[4]))
+        got = tp._filter_combine_soa(soa(e1), soa(e2))
+        for w, g, name in zip(want, got, "AbCeJ"):
+            g = (tp._m_join(g) if isinstance(g[0], tuple)
+                 else jnp.stack(list(g), axis=-1))
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-10, atol=1e-12,
+                                       err_msg=name)
+
+    def test_smooth_combine_equivalence(self):
+        from lowlevelparticlefilters_jl_tpu.parallel import temporal as tp
+        rng = np.random.default_rng(4)
+        B, nx = 11, 3
+        mk = lambda: (jnp.asarray(rng.normal(size=(B, nx, nx))),
+                      jnp.asarray(rng.normal(size=(B, nx))),
+                      jnp.asarray(rng.normal(size=(B, nx, nx))))
+        e1, e2 = mk(), mk()
+        want = tp._smooth_combine(e1, e2)
+        soa = lambda e: (tp._m_split(e[0]), tp._v_split(e[1]),
+                         tp._m_split(e[2]))
+        got = tp._smooth_combine_soa(soa(e1), soa(e2))
+        for w, g, name in zip(want, got, "EgL"):
+            g = (tp._m_join(g) if isinstance(g[0], tuple)
+                 else jnp.stack(list(g), axis=-1))
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-10, atol=1e-12,
+                                       err_msg=name)
+
+
+class TestAffineFastPathGate:
+    """Static affinity detection driving the iterated parallel
+    smoothers' skip-the-iterations fast path (temporal.py)."""
+
+    def test_gate_classification(self):
+        from lowlevelparticlefilters_jl_tpu.parallel.temporal import (
+            _callback_affine_in_x)
+
+        A = jnp.eye(2)
+        u0 = jnp.zeros((1,))
+        aff = lambda x, u, p, t: A @ x + 0.3
+        nonaff = lambda x, u, p, t: A @ x + 0.1 * jnp.sin(x)
+        assert _callback_affine_in_x(aff, 2, u0, None, 0.0)
+        assert not _callback_affine_in_x(nonaff, 2, u0, None, 0.0)
+
+
 class TestParallelSigmaPointSmoother:
     """O(log T) iterated posterior-linearization (sigma-point) smoother
     (parallel/temporal.py::parallel_ukf_smooth) — the UKF analogue of
