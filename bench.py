@@ -136,12 +136,17 @@ def _tslope(make, T1, T2):
     two trajectory lengths and divide the extra work by the extra time.
     The axon relay adds ~27 ms of per-dispatch RPC latency; any wall-time
     at T where compute ≲ 100 ms mis-reports throughput by up to ~6x.
-    ``make(T) -> (fn, args, work_units)``.  Returns (units/s, dt(T1))."""
+    ``make(T) -> (fn, args, work_units)``.  Returns (units/s, dt(T1)).
+
+    The denominator is floored at 1 ms (the relay's run-to-run jitter
+    scale): when a workload's marginal cost shrinks below that, the
+    reported rate degrades to an honest LOWER bound instead of a
+    jitter-divided artifact — pick a larger T2 spread in that case."""
     fn1, args1, w1 = make(T1)
     fn2, args2, w2 = make(T2)
     dt1 = _timeit(fn1, *args1)
     dt2 = _timeit(fn2, *args2)
-    return (w2 - w1) / max(dt2 - dt1, 1e-9), dt1
+    return (w2 - w1) / max(dt2 - dt1, 1e-3), dt1
 
 
 def bench_pf(N=100_000, T=1_000, resample_threshold=0.1):
@@ -367,7 +372,9 @@ def bench_parallel_ukf(T=50_000, iters=2):
             ukf, None, ys, iters=iters).xT.sum())
         return run, (ys,), Tn
 
-    rate, dt = _tslope(make, T, 4 * T)
+    # 16x spread: the plane-pipeline smoother costs ~17 ns/step, so the
+    # marginal work must clear the ~1 ms relay jitter (12.7 ms at 16x)
+    rate, dt = _tslope(make, T, 16 * T)
     return rate, dt
 
 
