@@ -268,7 +268,24 @@ def bench_ukf(T=50_000):
         return runb, (ysb,), Bk * Tn
 
     bank_rate, _ = _tslope(make, 1000, 4000)
-    return T / dt, dt, bank_rate, T / dtf
+
+    # affine-routed bank: ukf_bank_loglik statically detects the affine
+    # callbacks and runs the EXACT equivalent through the shared-Riccati
+    # plane-pipeline KF bank (filters/bank.py)
+    Bk2 = 8192
+
+    def make_aff(Tn):
+        ysb = jax.random.normal(jax.random.PRNGKey(2), (Bk2, Tn, 2),
+                                dtype=jnp.float32)
+        runb = jax.jit(lambda ysb: llpf.ukf_bank_loglik(
+            ukf, None, ysb).sum())
+        return runb, (ysb,), Bk2 * Tn
+
+    try:
+        bank_aff_rate, _ = _tslope(make_aff, 200, 6400)
+    except Exception:
+        bank_aff_rate = float("nan")
+    return T / dt, dt, bank_rate, T / dtf, bank_aff_rate
 
 
 def bench_ffbs(N=1000, M=1000, T=500):
@@ -404,7 +421,8 @@ def main():
         kf8_rate, _, _, kf8_ll_ok = bench_kf_bank(Bk=8192, t2_factor=32)
     except Exception:
         kf8_rate, kf8_ll_ok = float("nan"), False
-    ukf_rate, ukf_dt, ukf_bank_rate, ukf_fused_rate = bench_ukf()
+    (ukf_rate, ukf_dt, ukf_bank_rate, ukf_fused_rate,
+     ukf_bank_aff_rate) = bench_ukf()
     ffbs_rate, ffbs_dt, ffbs_mfu = bench_ffbs()
     try:
         # N-chunked kernel regime (VERDICT r2 #2): M=1000, N=65536
@@ -485,6 +503,10 @@ def main():
             "ukf_bank1024_vs_julia_baseline": round(
                 ukf_bank_rate / BASELINE_UKF_STEPS_PER_S, 2
             ),
+            "ukf_bank8192_affine_routed_steps_per_s": round(
+                ukf_bank_aff_rate, 1),
+            "ukf_bank8192_affine_routed_vs_julia_baseline": round(
+                ukf_bank_aff_rate / BASELINE_UKF_STEPS_PER_S, 2),
             "ffbs_mfu_vs_bf16peak": round(ffbs_mfu, 5),
             "pf_resample_every_step_mfu_vs_bf16peak": round(pf_full_mfu, 5),
             "kf_bank1024_mfu_vs_bf16peak": round(kf_mfu, 7),

@@ -64,7 +64,8 @@ from .ops.constraints import (
 from .filters.base import AbstractFilter, AbstractKalmanFilter, AbstractParticleFilter
 from .filters.kalman import KalmanFilter, KFState, KalmanInfo
 from .filters.bank import (
-    kf_bank_admissible, kf_bank_forward, kf_bank_loglik, KFBankSolution)
+    kf_bank_admissible, kf_bank_forward, kf_bank_loglik, KFBankSolution,
+    ukf_bank_loglik, ekf_bank_loglik)
 from .filters.ukf import UnscentedKalmanFilter, make_ukf
 from .filters.ekf import ExtendedKalmanFilter, make_ekf, make_iekf
 from .filters.sqkf import (

@@ -35,7 +35,7 @@ from ..utils.struct import struct, field
 from .kalman import _LOG2PI, kf_correct, kf_predict
 
 __all__ = ["kf_bank_admissible", "kf_bank_loglik", "kf_bank_forward",
-           "KFBankSolution"]
+           "KFBankSolution", "ukf_bank_loglik", "ekf_bank_loglik"]
 
 
 @struct
@@ -322,3 +322,76 @@ def _vmap_loglik(kf, u, y):
     from ..trajectory import loglik
 
     return loglik(kf, u, y)
+
+
+def ukf_bank_loglik(f, us, ys) -> jax.Array:
+    """Per-lane log-likelihood ``[B]`` of a bank of datasets through one
+    shared *nonlinear* filter (UKF/EKF-shaped: ``dynamics`` +
+    measurement-model ``measurement``).
+
+    Affine fast path: when both callbacks are statically affine in
+    (x, u) (jaxpr walk, cf. parallel/temporal.py), the unscented/Jacobian
+    linearization is EXACT — the filter's posterior equals a Kalman
+    filter on the per-step Jacobian model — so the bank routes through
+    :func:`kf_bank_loglik`'s shared-Riccati plane pipeline (~100× the
+    generic vmapped bank on v5e; the reference benchmarks its UKF on
+    exactly such a linear CV model, docs/src/benchmark.md:120-158).
+    Affine biases fold into an augmented input column (u' = [u; 1],
+    B' = [B c], D' = [D d]).  Anything non-affine (or augmented
+    dynamics / callable covariances) falls back to ``vmap(loglik)``.
+    """
+    mm = f.measurement_model
+    dyn = f.dynamics
+    h = getattr(mm, "measurement", None)
+    nx = f.d0.mean.shape[-1]
+    nu = max(f.nu, 0)
+    ok = (h is not None
+          and not getattr(f, "augmented_dynamics", False)
+          and isinstance(f.R1, jax.Array)
+          and isinstance(getattr(mm, "R2", None), jax.Array))
+    if ok:
+        from ..parallel.temporal import _callback_affine_in_x
+
+        p = f.p
+        gd = lambda z, u, pp, t: dyn(z[:nx], z[nx:], pp, t)
+        gh = lambda z, u, pp, t: h(z[:nx], z[nx:], pp, t)
+        zu0 = jnp.zeros((0,), jnp.float32)
+        ok = (_callback_affine_in_x(gd, nx + nu, zu0, p, 0.0)
+              and _callback_affine_in_x(gh, nx + nu, zu0, p, 0.0))
+    us3, ys3, Bk, T = _bank_inputs(f, us, ys)
+    if not ok:
+        return jax.vmap(lambda u, y: _vmap_loglik(f, u, y))(us3, ys3)
+
+    from .kalman import KalmanFilter
+
+    dtype = ys3.dtype
+    tvec = jnp.arange(T, dtype=dtype) * f.Ts
+    zx = jnp.zeros((nx,), dtype)
+    zu = jnp.zeros((nu,), dtype)
+    cj = jax.vmap(lambda t: dyn(zx, zu, p, t))(tvec)          # [T, nx]
+    dj = jax.vmap(lambda t: h(zx, zu, p, t))(tvec)            # [T, ny]
+    ny = dj.shape[-1]
+    Fj = jax.vmap(lambda t: jax.jacfwd(
+        lambda x: dyn(x, zu, p, t))(zx))(tvec)
+    Hj = jax.vmap(lambda t: jax.jacfwd(
+        lambda x: h(x, zu, p, t))(zx))(tvec)
+    if nu:
+        Bj = jax.vmap(lambda t: jax.jacfwd(
+            lambda u: dyn(zx, u, p, t))(zu))(tvec)
+        Dj = jax.vmap(lambda t: jax.jacfwd(
+            lambda u: h(zx, u, p, t))(zu))(tvec)
+    else:
+        Bj = jnp.zeros((T, nx, 0), dtype)
+        Dj = jnp.zeros((T, ny, 0), dtype)
+    Baug = jnp.concatenate([Bj, cj[:, :, None]], axis=-1)
+    Daug = jnp.concatenate([Dj, dj[:, :, None]], axis=-1)
+    kfe = KalmanFilter(Fj, Baug, Hj, Daug, jnp.asarray(f.R1, dtype),
+                       jnp.asarray(mm.R2, dtype), d0=f.d0, Ts=f.Ts, p=p,
+                       nx=nx, nu=nu + 1, ny=ny)
+    us_aug = jnp.concatenate([us3, jnp.ones((Bk, T, 1), dtype)], axis=-1)
+    return kf_bank_loglik(kfe, us_aug, ys3)
+
+
+#: EKF banks share the same routing (Jacobian linearization of an
+#: affine model is exact too).
+ekf_bank_loglik = ukf_bank_loglik

@@ -107,3 +107,44 @@ def test_bank_fallback_for_callable_matrices():
                                rtol=1e-8)
     with pytest.raises(ValueError, match="shared-Riccati"):
         kf_bank_forward(kf, us, ys)
+
+
+def test_ukf_bank_affine_routes_to_kf_bank():
+    """UKF bank on an affine model: the UT linearization is exact, so
+    the routed shared-Riccati result must equal vmap(ukf loglik)."""
+    ukf = llpf.make_ukf(
+        lambda x, u, p, t: A @ x + B @ u + 0.01,
+        lambda x, u, p, t: C @ x - 0.02,
+        R1, R2, ny=2, nu=1,
+        d0=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)))
+    us, ys = _data()
+    ll = llpf.ukf_bank_loglik(ukf, us, ys)
+    want = jax.vmap(lambda u, y: llpf.loglik(ukf, u, y))(us, ys)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(want),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_ukf_bank_nonlinear_falls_back_to_vmap():
+    ukf = llpf.make_ukf(
+        lambda x, u, p, t: A @ x + 0.05 * jnp.sin(x) + B @ u,
+        lambda x, u, p, t: C @ x,
+        R1, R2, ny=2, nu=1,
+        d0=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)))
+    us, ys = _data()
+    ll = llpf.ukf_bank_loglik(ukf, us, ys)
+    want = jax.vmap(lambda u, y: llpf.loglik(ukf, u, y))(us, ys)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(want),
+                               rtol=1e-10)
+
+
+def test_ekf_bank_affine_alias():
+    ekf = llpf.make_ekf(
+        lambda x, u, p, t: A @ x + B @ u,
+        lambda x, u, p, t: C @ x,
+        R1, R2, nu=1, ny=2,
+        d0=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)))
+    us, ys = _data()
+    ll = llpf.ekf_bank_loglik(ekf, us, ys)
+    want = jax.vmap(lambda u, y: llpf.loglik(ekf, u, y))(us, ys)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(want),
+                               rtol=1e-6, atol=1e-8)
