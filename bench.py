@@ -395,6 +395,34 @@ def bench_parallel_ukf(T=50_000, iters=2):
     return rate, dt
 
 
+def bench_parallel_ukf_nonlinear(T=50_000, iters=4):
+    """The honest NONLINEAR single-stream number: iterated sigma-point
+    smoother on a quadtank-style square-root-outflow model — no affine
+    fast path applies, every iteration runs the full unscented SLR."""
+    g1 = lambda x: jnp.sqrt(jnp.abs(x) + 0.1)
+
+    def dyn(x, u, p, t):
+        return x + 0.1 * jnp.array(
+            [-g1(x[0]) + 0.5 * g1(x[1]), -0.5 * g1(x[1]) + 0.1])
+
+    ukf = llpf.make_ukf(
+        dyn, lambda x, u, p, t: x,
+        0.001 * jnp.eye(2, dtype=jnp.float32),
+        0.01 * jnp.eye(2, dtype=jnp.float32), ny=2, nu=0,
+        d0=llpf.MvNormal(jnp.array([1.0, 1.0], jnp.float32),
+                         0.1 * jnp.eye(2, dtype=jnp.float32)))
+
+    def make(Tn):
+        ys = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                           (Tn, 2), jnp.float32)
+        run = jax.jit(lambda y: llpf.parallel_ukf_smooth(
+            ukf, None, y, iters=iters).xT.sum())
+        return run, (ys,), Tn
+
+    rate, dt = _tslope(make, T, 4 * T)
+    return rate, dt
+
+
 def bench_parallel_kf(T=100_000):
     """O(log T) associative-scan KF vs the sequential scan on one long
     trajectory (Sarkka & Garcia-Fernandez temporal parallelization)."""
@@ -435,6 +463,10 @@ def main():
     except Exception:
         pukf_rate, pukf_dt = float("nan"), float("nan")
     try:
+        pukf_nl_rate, _ = bench_parallel_ukf_nonlinear()
+    except Exception:
+        pukf_nl_rate = float("nan")
+    try:
         pff_rate, pff_dt, pff_ok = bench_pf_fused()
         pff_full_rate, _, pff_full_ok = bench_pf_fused(resample_threshold=1.0)
     except Exception:
@@ -467,6 +499,10 @@ def main():
             "parallel_ukf_vs_julia_baseline": round(
                 pukf_rate / BASELINE_UKF_STEPS_PER_S, 3),
             "parallel_ukf_walltime_s": round(pukf_dt, 4),
+            "parallel_ukf_nonlinear_steps_per_s_it4": round(
+                pukf_nl_rate, 1),
+            "parallel_ukf_nonlinear_vs_julia_baseline": round(
+                pukf_nl_rate / BASELINE_UKF_STEPS_PER_S, 3),
             # roofline fields: analytic bytes-moved / walltime / 819 GB/s
             "pf_xla_bw_util": round(pf_rate * 48 / PEAK_HBM_BYTES, 4),
             "kf_bank_bw_util": round(kf_rate * 200 * 96 / PEAK_HBM_BYTES, 4),
