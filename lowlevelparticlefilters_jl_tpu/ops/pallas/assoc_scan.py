@@ -194,14 +194,11 @@ def scan_supported(nx, dtype) -> bool:
     return _on_tpu() and dtype == jnp.float32 and nx <= 4
 
 
-def filter_scan_p(elems_p, *, L=_L, interpret=None):
-    """Plane-level API: elements as the tuple-of-[T]-plane structures of
-    parallel/temporal.py (A, b, C, η, J); returns the filtered moments
-    as planes ``(xt: tuple[nx], Rt: tuple-of-tuples[nx][nx])``."""
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2))
+def _filter_scan_p_prim(elems_p, L, interpret):
     from ...parallel.temporal import _filter_combine_soa
 
     nx = len(elems_p[1])
-    T = elems_p[1][0].shape[0]
     planes = jnp.stack(_flatten(elems_p)).astype(jnp.float32)
     struct = _struct_filter(nx)
     # outputs: b planes (nx) then C planes (nx*nx)
@@ -217,11 +214,31 @@ def filter_scan_p(elems_p, *, L=_L, interpret=None):
     return xt, Rt
 
 
-def smooth_scan_p(elems_p, *, L=_L, interpret=None):
-    """Plane-level reverse scan of RTS smoothing elements (E, g, L):
-    returns smoothed-moment planes ``(xT, RT)``.  Equals
-    ``associative_scan(lambda a, b: _smooth_combine(b, a), reverse=True)``
-    via the flip identity in the module docstring."""
+@_filter_scan_p_prim.defjvp
+def _filter_scan_p_jvp(L, interpret, primals, tangents):
+    """`pallas_call` has no autodiff rule; under differentiation the
+    scan falls back to the XLA entrywise-pytree associative_scan (same
+    combine source, machine-precision-equivalent primal)."""
+    from ...parallel.temporal import _filter_combine_soa
+
+    def xla(e):
+        out = jax.lax.associative_scan(_filter_combine_soa, e)
+        return out[1], out[2]
+
+    return jax.jvp(xla, primals, tangents)
+
+
+def filter_scan_p(elems_p, *, L=_L, interpret=None):
+    """Plane-level API: elements as the tuple-of-[T]-plane structures of
+    parallel/temporal.py (A, b, C, η, J); returns the filtered moments
+    as planes ``(xt: tuple[nx], Rt: tuple-of-tuples[nx][nx])``.
+    Differentiable: under jvp/grad the fused kernel is swapped for the
+    XLA associative_scan (custom_jvp above)."""
+    return _filter_scan_p_prim(elems_p, L, interpret)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2))
+def _smooth_scan_p_prim(elems_p, L, interpret):
     from ...parallel.temporal import _smooth_combine_soa
 
     nx = len(elems_p[1])
@@ -240,6 +257,27 @@ def smooth_scan_p(elems_p, *, L=_L, interpret=None):
     RT = tuple(tuple(out[nx + i * nx + j] for j in range(nx))
                for i in range(nx))
     return xT, RT
+
+
+@_smooth_scan_p_prim.defjvp
+def _smooth_scan_p_jvp(L, interpret, primals, tangents):
+    from ...parallel.temporal import _smooth_combine_soa
+
+    def xla(e):
+        out = jax.lax.associative_scan(
+            lambda a, b: _smooth_combine_soa(b, a), e, reverse=True)
+        return out[1], out[2]
+
+    return jax.jvp(xla, primals, tangents)
+
+
+def smooth_scan_p(elems_p, *, L=_L, interpret=None):
+    """Plane-level reverse scan of RTS smoothing elements (E, g, L):
+    returns smoothed-moment planes ``(xT, RT)``.  Equals
+    ``associative_scan(lambda a, b: _smooth_combine(b, a), reverse=True)``
+    via the flip identity in the module docstring.  Differentiable via
+    the XLA-fallback custom_jvp."""
+    return _smooth_scan_p_prim(elems_p, L, interpret)
 
 
 def _split_mat(M):

@@ -101,3 +101,34 @@ class TestEndToEndKernelRouting:
                                    rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(np.asarray(Rt), np.asarray(seq.Rt),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestKernelDifferentiability:
+    def test_grad_falls_back_to_xla(self):
+        """`pallas_call` has no autodiff rule; the custom_jvp swaps the
+        kernel for the XLA associative_scan under differentiation —
+        grad must match a finite difference."""
+        rng = np.random.default_rng(0)
+        T, nx = 40, 2
+        A = jnp.asarray(rng.normal(size=(T, nx, nx)) * 0.3, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(T, nx)), jnp.float32)
+        Ch = rng.normal(size=(T, nx, nx)) * 0.3
+        C0 = jnp.asarray(Ch @ np.swapaxes(Ch, -1, -2), jnp.float32)
+        eta = jnp.asarray(rng.normal(size=(T, nx)), jnp.float32)
+        J = 0.1 * jnp.broadcast_to(jnp.eye(nx, dtype=jnp.float32),
+                                   (T, nx, nx))
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.assoc_scan import (
+            filter_scan_p)
+
+        def loss(q):
+            C = C0 + q * jnp.eye(nx, dtype=jnp.float32)
+            e = (tp._m_split(A), tp._v_split(b), tp._m_split(C),
+                 tp._v_split(eta), tp._m_split(J))
+            xt, Rt = filter_scan_p(e, L=8, interpret=True)
+            return sum(x.sum() for x in xt) + Rt[0][0].sum()
+
+        g = float(jax.grad(loss)(jnp.float32(0.1)))
+        eps = 1e-3
+        fd = float((loss(jnp.float32(0.1 + eps))
+                    - loss(jnp.float32(0.1 - eps))) / (2 * eps))
+        assert np.isfinite(g) and abs(g - fd) < 2e-2 * (1 + abs(fd)), (g, fd)
