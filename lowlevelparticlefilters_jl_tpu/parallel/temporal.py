@@ -429,15 +429,20 @@ def _scan_smooth_p(elems_p):
 
 
 def _parallel_filter_core_p(F, c, H, Q, R, y_eff, m0, P0):
+    """Plane-pipeline associative-scan filter on stacked [T, ...]
+    arrays (split once at this boundary); see
+    :func:`_parallel_filter_core_pp` for the all-planes form."""
+    return _parallel_filter_core_pp(
+        _m_split(F), _v_split(c), _m_split(H), _m_split(Q), _m_split(R),
+        _v_split(y_eff), m0, P0, y_eff.shape[0])
+
+
+def _parallel_filter_core_pp(Fp, cp, Hp, Qp, Rp, yp, m0, P0, T):
     """Plane-pipeline associative-scan filter: returns
     ``(xp, Rp_pred, xtp, Ctp, ep, Sp, Schp, Kp, lls)`` — all tuple-of-
     [T]-plane structures except the [T] plane ``lls``."""
     import math
 
-    T = y_eff.shape[0]
-    Fp, cp = _m_split(F), _v_split(c)
-    Hp, Qp, Rp = _m_split(H), _m_split(Q), _m_split(R)
-    yp = _v_split(y_eff)
     ny = len(yp)
 
     elems = _filter_elements_p(Fp, cp, Hp, Qp, Rp, yp, m0, P0, T)
@@ -793,6 +798,61 @@ def _slr_many(fns, m, P, W, params):
     return tuple(one(fn) for fn in fns), xs
 
 
+def _slr_linearize_p(fns, out_dims, m_p, P_p, W, u_seq, tvec, p, T):
+    """Plane-form statistical linear regression of several callbacks
+    along a trajectory of N(m_t, P_t) — the [T]-leaf twin of
+    :func:`_slr_many` (formula-identical; sigma points are
+    m ± columns of chol(W.W·P) = m ± √W.W · chol(P) columns).
+
+    Only the user-callback evaluation crosses into stacked
+    [T, 2nx+1, ·] arrays (callbacks take [nx] vectors); every moment,
+    factorization and regression solve stays plane arithmetic — the
+    batched [T, nx, nx] UT intermediates of the vmapped form tile to
+    (8, 128) on TPU (64× physical traffic) and dominated the nonlinear
+    iterated smoother's per-iteration cost.
+    """
+    nx = len(m_p)
+    NP = 2 * nx + 1
+    Lc = _chol_p(_sym_p(P_p))
+    sW = float(W.W) ** 0.5
+    # sigma points as plane tuples: [m, m + sW·Lc[:,i], m − sW·Lc[:,i]]
+    pts = [tuple(m_p)]
+    for i in range(nx):
+        pts.append(tuple(m_p[q] + sW * Lc[q][i] for q in range(nx)))
+    for i in range(nx):
+        pts.append(tuple(m_p[q] - sW * Lc[q][i] for q in range(nx)))
+    # callback boundary: one stacked [T, NP, nx] array per direction
+    X3 = jnp.stack([jnp.stack(list(pt), axis=-1) for pt in pts], axis=1)
+
+    outs = []
+    for fn, nout in zip(fns, out_dims):
+        ys = jax.vmap(lambda xrow, uk, tk: jax.vmap(
+            lambda x: fn(x, uk, p, tk))(xrow))(X3, u_seq, tvec)
+        ys_p = [tuple(ys[:, s, j] for j in range(nout))
+                for s in range(NP)]
+        ybar = tuple(W.wm * ys_p[0][j]
+                     + W.wmi * sum(ys_p[s][j] for s in range(1, NP))
+                     for j in range(nout))
+        dx = [tuple(pts[s][a] - m_p[a] for a in range(nx))
+              for s in range(NP)]
+        dy = [tuple(ys_p[s][j] - ybar[j] for j in range(nout))
+              for s in range(NP)]
+        Pxy = tuple(tuple(
+            W.wc * dx[0][a] * dy[0][b]
+            + W.wci * sum(dx[s][a] * dy[s][b] for s in range(1, NP))
+            for b in range(nout)) for a in range(nx))
+        Pyy = tuple(tuple(
+            W.wc * dy[0][a] * dy[0][b]
+            + W.wci * sum(dy[s][a] * dy[s][b] for s in range(1, NP))
+            for b in range(nout)) for a in range(nout))
+        Fk = _mt_p(_chol_solve_p(Lc, Pxy))        # Pxyᵀ P⁻¹, [nout][nx]
+        ck = _vsub_p(ybar, _mv_p(Fk, m_p))
+        Om = _sym_p(_msub_p(
+            Pyy, _mm_p(_mm_p(Fk, _sym_p(P_p)), _mt_p(Fk))))
+        outs.append((Fk, ck, Om))
+    return outs
+
+
 def parallel_ukf_smooth(ukf, u, y, p=None, *, iters: int = 8):
     """O(log T)-depth iterated sigma-point (posterior-linearization)
     Kalman smoother — the unscented counterpart of
@@ -862,6 +922,50 @@ def parallel_ukf_smooth(ukf, u, y, p=None, *, iters: int = 8):
             d = jax.vmap(lambda uk, tk: h(zx, uk, p, tk))(u_seq, tvec)
             return F, c, Q, H, R, y - d
     else:
+        # NONLINEAR path: everything in [T]-leaf planes end-to-end —
+        # the nominal (x̄, P̄) carry, the plane-SLR linearization, the
+        # filter/smoother cores and the refinement scan; arrays are
+        # joined once for the final solution containers.
+        ny = y.shape[1]
+        if nx <= _PLANE_N and ny <= _PLANE_N:
+            Qp_c, Rp_c, yp_c = _m_split(Q), _m_split(R), _v_split(y)
+
+            def linearize_p(xb, Pb):
+                (Fd, cd, Omf), (Fh, dh, Omh) = _slr_linearize_p(
+                    (dyn, h), (nx, ny), xb, Pb, W, u_seq, tvec, p, T)
+                return (Fd, cd, _madd_p(Qp_c, Omf), Fh,
+                        _madd_p(Rp_c, Omh), _vsub_p(yp_c, dh))
+
+            def one_iter_p(carry, _):
+                xb, Pb = carry
+                Fp2, cp2, Qe, Hp2, Re, ye = linearize_p(xb, Pb)
+                _, _, xtp, Ctp, _, _, _, _, _ = _parallel_filter_core_pp(
+                    Fp2, cp2, Hp2, Qe, Re, ye, m0, P0, T)
+                return _parallel_smooth_core_p(Fp2, cp2, Qe, xtp, Ctp,
+                                               T), None
+
+            xb = tuple(jnp.broadcast_to(m0[i], (T,)) for i in range(nx))
+            Pb = tuple(tuple(jnp.broadcast_to(P0[i, j], (T,))
+                             for j in range(nx)) for i in range(nx))
+            if iters > 1:
+                (xb, Pb), _ = jax.lax.scan(one_iter_p, (xb, Pb), None,
+                                           length=iters - 1)
+            Fp2, cp2, Qe, Hp2, Re, ye = linearize_p(xb, Pb)
+            (xp, Rpred, xtp, Ctp, ep, Sp, Schp, Kp,
+             lls) = _parallel_filter_core_pp(
+                Fp2, cp2, Hp2, Qe, Re, ye, m0, P0, T)
+            gT, LT = _parallel_smooth_core_p(Fp2, cp2, Qe, xtp, Ctp, T)
+            vj = lambda v: jnp.stack(list(v), axis=-1)
+            xT, RT = vj(gT), _m_join(LT)
+            ok = jnp.all(jnp.isfinite(xT), axis=-1)
+            sol = KalmanFilteringSolution(
+                u=u_seq, y=y, x=vj(xp), xt=vj(xtp), R=_m_join(Rpred),
+                Rt=_m_join(Ctp), ll=jnp.sum(lls), e=vj(ep), K=_m_join(Kp),
+                S=_m_join(Sp), extra=None, t=tvec, ok=ok,
+            )
+            return KalmanSmoothingSolution(sol=sol, xT=xT, RT=RT)
+
+        # wide-state fallback: vmapped SLR on stacked arrays
         def linearize(xbar, Pbar):
             def one(mk, Pk, uk, tk):
                 ((Fk, ck, Omf), (Hk, dk, Omh)), _ = _slr_many(
