@@ -118,3 +118,18 @@ def test_quadtank_fault_estimation():
     sol, a1_est, pre, post = mod.fault_estimation()
     assert abs(pre - 0.03) < 0.01
     assert abs(post - 0.06) < 0.01
+
+
+def test_parallel_smoothing_example():
+    mod = _load("example_parallel_smoothing")
+    psol, ssol, pss, pnl, snl = mod.main(T=400)
+    # parallel linear filter reproduces the sequential one
+    assert abs(float(psol.ll) - float(ssol.ll)) < 1e-3 * abs(float(ssol.ll))
+    np.testing.assert_allclose(np.asarray(pss.xT[-1]),
+                               np.asarray(psol.xt[-1]), atol=1e-4)
+    # nonlinear parallel smoother agrees with the sequential unscented
+    # RTS to linearization tolerance
+    rmse = float(np.sqrt(np.mean((np.asarray(pnl.xT) - np.asarray(snl.xT)) ** 2)))
+    scale = float(np.sqrt(np.mean(np.asarray(snl.xT) ** 2)))
+    assert rmse < 0.05 * scale, (rmse, scale)
+    assert bool(np.asarray(pnl.sol.ok).all())
