@@ -116,6 +116,35 @@ def certify_kernels():
     except Exception:
         checks["noise_moments"] = False
 
+    # fused associative-scan kernel vs the HIGHEST-precision XLA oracle
+    # (real Mosaic output; the default bf16 oracle passes drift ~1e-2)
+    try:
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.assoc_scan import (
+            filter_scan)
+        from lowlevelparticlefilters_jl_tpu.parallel.temporal import (
+            _filter_combine)
+
+        rng2 = np.random.default_rng(5)
+        T, nxs = 4096, 4
+        A = jnp.asarray(rng2.normal(size=(T, nxs, nxs)) * 0.3, jnp.float32)
+        b = jnp.asarray(rng2.normal(size=(T, nxs)), jnp.float32)
+        Ch = rng2.normal(size=(T, nxs, nxs)) * 0.3
+        Cm = jnp.asarray(Ch @ np.swapaxes(Ch, -1, -2) + 0.1 * np.eye(nxs),
+                         jnp.float32)
+        eta = jnp.asarray(rng2.normal(size=(T, nxs)), jnp.float32)
+        Jh = rng2.normal(size=(T, nxs, nxs)) * 0.3
+        Jm = jnp.asarray(Jh @ np.swapaxes(Jh, -1, -2) + 0.1 * np.eye(nxs),
+                         jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            want = jax.jit(lambda *e: jax.lax.associative_scan(
+                _filter_combine, e))(A, b, Cm, eta, Jm)
+        xt, _ = jax.jit(lambda *e: filter_scan(*e))(A, b, Cm, eta, Jm)
+        err = float(jnp.max(jnp.abs(xt - want[1]))
+                    / (1e-6 + float(jnp.max(jnp.abs(want[1])))))
+        checks["assoc_scan_vs_oracle"] = bool(err < 1e-3)
+    except Exception:
+        checks["assoc_scan_vs_oracle"] = False
+
     checks["kernels_verified"] = all(
         v for k, v in checks.items() if isinstance(v, bool))
     return checks
