@@ -31,9 +31,10 @@ as g's first argument in both) — the wrapper flips the time axis on the
 way in and out and keeps the swapped-argument combine
 `g(a, b) = _smooth_combine(b, a)`.
 
-Supported: f32, nx ≤ 4 (E ≤ 56 planes; VMEM high-water ≈ 4 live copies
-of [E, 8, L]).  Off-TPU and beyond the gate, callers keep the XLA
-associative_scan path.
+Supported: f32, nx ≤ 8 (E ≤ 208 planes; lane width L adapts to nx so
+the VMEM high-water ≈ 4 live copies of [E, 8, L] stays bounded).
+Off-TPU and beyond the gate, callers keep the XLA associative_scan
+path.
 """
 from __future__ import annotations
 
@@ -49,6 +50,14 @@ from .noise import _on_tpu
 # default lane width of a time block: BT = 8 * L elements per grid step;
 # log2(L) + 1 full-plane combine passes per block
 _L = 512
+
+
+def _lane_width(nx: int) -> int:
+    """Block lane width by state dimension: E grows as 3nx²+2nx and the
+    combine unroll as ~nx³, so wider states take narrower blocks to keep
+    the VMEM high-water (~4 live copies of [E, 8, L]) and the Mosaic
+    program size bounded (VMEM ≈ 16 MB/core)."""
+    return 512 if nx <= 4 else 128
 
 
 def _struct_filter(nx):
@@ -189,9 +198,10 @@ def _plane_scan(planes, combine, struct, out_idx, L=_L, interpret=None):
 
 
 def scan_supported(nx, dtype) -> bool:
-    """Production admission: on-TPU, f32 elements, nx ≤ 4 (VMEM-sized
-    plane count; the XLA SoA path covers the rest)."""
-    return _on_tpu() and dtype == jnp.float32 and nx <= 4
+    """Production admission: on-TPU, f32 elements, nx ≤ 8 (E ≤ 208
+    planes at the nx-adapted lane width; the XLA SoA path covers the
+    rest)."""
+    return _on_tpu() and dtype == jnp.float32 and nx <= 8
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2))
@@ -199,6 +209,8 @@ def _filter_scan_p_prim(elems_p, L, interpret):
     from ...parallel.temporal import _filter_combine_soa
 
     nx = len(elems_p[1])
+    if L is None:
+        L = _lane_width(nx)
     planes = jnp.stack(_flatten(elems_p)).astype(jnp.float32)
     struct = _struct_filter(nx)
     # outputs: b planes (nx) then C planes (nx*nx)
@@ -228,7 +240,7 @@ def _filter_scan_p_jvp(L, interpret, primals, tangents):
     return jax.jvp(xla, primals, tangents)
 
 
-def filter_scan_p(elems_p, *, L=_L, interpret=None):
+def filter_scan_p(elems_p, *, L=None, interpret=None):
     """Plane-level API: elements as the tuple-of-[T]-plane structures of
     parallel/temporal.py (A, b, C, η, J); returns the filtered moments
     as planes ``(xt: tuple[nx], Rt: tuple-of-tuples[nx][nx])``.
@@ -242,6 +254,8 @@ def _smooth_scan_p_prim(elems_p, L, interpret):
     from ...parallel.temporal import _smooth_combine_soa
 
     nx = len(elems_p[1])
+    if L is None:
+        L = _lane_width(nx)
     planes = jnp.stack(_flatten(elems_p)).astype(jnp.float32)
     planes = planes[:, ::-1]
     struct = _struct_smooth(nx)
@@ -271,7 +285,7 @@ def _smooth_scan_p_jvp(L, interpret, primals, tangents):
     return jax.jvp(xla, primals, tangents)
 
 
-def smooth_scan_p(elems_p, *, L=_L, interpret=None):
+def smooth_scan_p(elems_p, *, L=None, interpret=None):
     """Plane-level reverse scan of RTS smoothing elements (E, g, L):
     returns smoothed-moment planes ``(xT, RT)``.  Equals
     ``associative_scan(lambda a, b: _smooth_combine(b, a), reverse=True)``
@@ -285,7 +299,7 @@ def _split_mat(M):
     return tuple(tuple(M[:, i, j] for j in range(m)) for i in range(n))
 
 
-def filter_scan(A, b, C, eta, J, *, L=_L, interpret=None):
+def filter_scan(A, b, C, eta, J, *, L=None, interpret=None):
     """Array-level wrapper of :func:`filter_scan_p`: [T, ...] element
     stacks in, filtered moments ``(xt [T, nx], Rt [T, nx, nx])`` out."""
     T, nx = b.shape
@@ -297,7 +311,7 @@ def filter_scan(A, b, C, eta, J, *, L=_L, interpret=None):
             jnp.stack([jnp.stack(list(r), axis=-1) for r in Rt], axis=-2))
 
 
-def smooth_scan(E, g, L_, *, L=_L, interpret=None):
+def smooth_scan(E, g, L_, *, L=None, interpret=None):
     """Array-level wrapper of :func:`smooth_scan_p`."""
     T, nx = g.shape
     xT, RT = smooth_scan_p(
