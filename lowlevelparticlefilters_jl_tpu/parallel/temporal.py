@@ -714,13 +714,28 @@ def parallel_iekf_smooth(ekf, u, y, p=None, *, iters: int = 8):
         d = hx - jnp.einsum("tij,tj->ti", H, xbar)
         return F, c, H, y - d
 
-    def one_iter(xbar, _):
-        F, c, H, y_eff = linearize(xbar)
-        _, _, xt, Rt, _, _, _, _, _ = _parallel_filter_core(
-            F, c, H, Q, R, y_eff, m0, P0
-        )
-        xT, _ = _parallel_smooth_core(F, c, Q, xt, Rt)
-        return xT, None
+    nx_ = m0.shape[-1]
+    if nx_ <= _PLANE_N and y.shape[-1] <= _PLANE_N:
+        Qp_c, Rp_c = _m_split(Q), _m_split(R)
+
+        def one_iter(xbar, _):
+            # plane cores end-to-end: the filtered moments feed the
+            # smoother as planes, no [T, nx, nx] join/split per pass
+            F, c, H, y_eff = linearize(xbar)
+            Fp, cp = _m_split(F), _v_split(c)
+            _, _, xtp, Ctp, _, _, _, _, _ = _parallel_filter_core_pp(
+                Fp, cp, _m_split(H), Qp_c, Rp_c, _v_split(y_eff),
+                m0, P0, T)
+            gT, _ = _parallel_smooth_core_p(Fp, cp, Qp_c, xtp, Ctp, T)
+            return jnp.stack(list(gT), axis=-1), None
+    else:
+        def one_iter(xbar, _):
+            F, c, H, y_eff = linearize(xbar)
+            _, _, xt, Rt, _, _, _, _, _ = _parallel_filter_core(
+                F, c, H, Q, R, y_eff, m0, P0
+            )
+            xT, _ = _parallel_smooth_core(F, c, Q, xt, Rt)
+            return xT, None
 
     # affine models: the linearization is exact and trajectory-
     # independent, so Gauss-Newton converges in the single final pass
