@@ -777,15 +777,6 @@ def parallel_iekf_smooth(ekf, u, y, p=None, *, iters: int = 8):
 # ---------------------------------------------------------------------------
 
 
-def _slr(fn, m, P, W, params, out_dim):
-    """Statistical linear regression of ``fn`` at N(m, P) via the
-    unscented transform: returns ``(Fk, ck, Om)`` with
-    ``fn(x) ≈ Fk x + ck + e, e ~ N(0, Om)``  (the sigma-point analogue
-    of a Jacobian linearization; exact for affine fn with Om = 0)."""
-    (out,), _ = _slr_many((fn,), m, P, W, params)
-    return out
-
-
 def _slr_many(fns, m, P, W, params):
     """SLR of several functions at the SAME N(m, P): sigma points and
     the P-Cholesky are built once and shared (the per-step linearize of
