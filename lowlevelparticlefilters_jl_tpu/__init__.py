@@ -123,6 +123,7 @@ from .trajectory import (
     loglik_x,
     sse,
     simulate,
+    simulate_ensemble,
     rollout,
     weighted_mean,
     weighted_cov,

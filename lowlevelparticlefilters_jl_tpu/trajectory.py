@@ -275,7 +275,10 @@ def simulate(
 
     key, k0 = jax.random.split(key)
     x1 = f.sample_initial(k0, p, noise=sample_initial)
-    keys = jax.random.split(key, 2 * T).reshape(T, 2, -1)
+    # typed keys (jax.random.key) split to shape [2T]; raw uint32 keys
+    # (jax.random.PRNGKey) to [2T, 2] — reshape the leading axis only
+    keys = jax.random.split(key, 2 * T)
+    keys = keys.reshape(T, 2, *keys.shape[1:])
 
     def step(x, inp):
         uk, tk, kk = inp

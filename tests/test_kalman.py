@@ -152,6 +152,22 @@ def test_simulate_roundtrip_covariance(rng):
     assert bool(jnp.all(sol.ok))
 
 
+def test_simulate_typed_key_and_ensemble(rng):
+    """simulate accepts new-style typed keys (jax.random.key) and
+    simulate_ensemble (the MonteCarloMeasurementsExt counterpart) is
+    reachable from the package root — regression for the raw-uint32
+    key-reshape assumption in the scan key split."""
+    A, B, C, R1, R2 = make_system()
+    kf = llpf.KalmanFilter(A, B, C, 0, R1, R2)
+    u = jnp.asarray(rng.normal(size=(40, 1)))
+    x, u2, y = llpf.simulate(kf, u, jax.random.key(3))
+    assert x.shape == (40, 2) and y.shape == (40, 1)
+    xs, us, ys = llpf.simulate_ensemble(kf, u, jax.random.key(4), n_runs=6)
+    assert xs.shape == (6, 40, 2) and ys.shape == (6, 40, 1)
+    # distinct runs draw distinct noise
+    assert not np.allclose(np.asarray(xs[0]), np.asarray(xs[1]))
+
+
 def test_vmap_filter_bank(data):
     """Batched KF bank — the @1024-filters execution mode."""
     A, B, C, R1, R2 = make_system()
