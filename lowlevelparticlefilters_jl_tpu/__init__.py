@@ -224,6 +224,8 @@ from .compat import (
     correct,
     reset,
     sample_measurement,
+    weigthed_mean,
+    weigthed_cov,
 )
 
 # Naming aliases for users arriving from the reference package

@@ -120,3 +120,29 @@ def sample_measurement(f, key, x, u=None, p=None, t=0, noise=True):
     """Draw y ~ p(y | x) from the filter's measurement model
     (src/filtering.jl sample_measurement)."""
     return f.sample_measurement(key, x, u, p, t, noise=noise)
+
+
+def weigthed_mean(*args, **kwargs):
+    """Deprecated typo alias kept by the reference
+    (`@deprecate weigthed_mean weighted_mean`,
+    src/LowLevelParticleFilters.jl:12) — forwards to ``weighted_mean``."""
+    import warnings
+
+    from .trajectory import weighted_mean
+
+    warnings.warn("weigthed_mean is deprecated, use weighted_mean",
+                  DeprecationWarning, stacklevel=2)
+    return weighted_mean(*args, **kwargs)
+
+
+def weigthed_cov(*args, **kwargs):
+    """Deprecated typo alias kept by the reference
+    (`@deprecate weigthed_cov weighted_cov`,
+    src/LowLevelParticleFilters.jl:13) — forwards to ``weighted_cov``."""
+    import warnings
+
+    from .trajectory import weighted_cov
+
+    warnings.warn("weigthed_cov is deprecated, use weighted_cov",
+                  DeprecationWarning, stacklevel=2)
+    return weighted_cov(*args, **kwargs)

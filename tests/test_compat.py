@@ -99,6 +99,22 @@ def test_aliases():
     assert llpf.RBParticle is RBState
 
 
+def test_deprecated_typo_aliases():
+    """Reference keeps @deprecate weigthed_mean/weigthed_cov
+    (src/LowLevelParticleFilters.jl:12-13) — ours warn and forward."""
+    import warnings
+
+    x = jnp.arange(8.0).reshape(4, 2)
+    we = jnp.full((4,), 0.25)  # linear (exp) weights, reference convention
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        m = llpf.weigthed_mean(x, we)
+        c = llpf.weigthed_cov(x, we)
+    assert any(issubclass(r.category, DeprecationWarning) for r in rec)
+    assert jnp.allclose(m, llpf.weighted_mean(x, we))
+    assert jnp.allclose(c, llpf.weighted_cov(x, we))
+
+
 def test_apf_keyword_forwarding():
     """ADVICE-r2 regression: compat verbs must forward p/t as KEYWORDS.
 
