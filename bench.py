@@ -117,15 +117,19 @@ def certify_kernels():
         checks["noise_moments"] = False
 
     # fused associative-scan kernel vs the HIGHEST-precision XLA oracle
-    # (real Mosaic output; the default bf16 oracle passes drift ~1e-2)
-    try:
+    # (real Mosaic output; the default bf16 oracle passes drift ~1e-2).
+    # nx=4 covers the wide-lane layout (L=512), nx=6 the narrow-lane
+    # one (L=128) that the CPU interpret tests cannot afford to compile
+    # (test_assoc_scan_kernel.py caps at nx=3); the nx=6 check also
+    # exercises the smoother combine.
+    def _assoc_cert(nxs, with_smooth):
         from lowlevelparticlefilters_jl_tpu.ops.pallas.assoc_scan import (
-            filter_scan)
+            filter_scan, smooth_scan)
         from lowlevelparticlefilters_jl_tpu.parallel.temporal import (
-            _filter_combine)
+            _filter_combine, _smooth_combine)
 
-        rng2 = np.random.default_rng(5)
-        T, nxs = 4096, 4
+        rng2 = np.random.default_rng(5 + nxs)
+        T = 4096
         A = jnp.asarray(rng2.normal(size=(T, nxs, nxs)) * 0.3, jnp.float32)
         b = jnp.asarray(rng2.normal(size=(T, nxs)), jnp.float32)
         Ch = rng2.normal(size=(T, nxs, nxs)) * 0.3
@@ -141,9 +145,31 @@ def certify_kernels():
         xt, _ = jax.jit(lambda *e: filter_scan(*e))(A, b, Cm, eta, Jm)
         err = float(jnp.max(jnp.abs(xt - want[1]))
                     / (1e-6 + float(jnp.max(jnp.abs(want[1])))))
-        checks["assoc_scan_vs_oracle"] = bool(err < 1e-3)
+        ok = err < 1e-3
+        if with_smooth:
+            E = jnp.asarray(rng2.normal(size=(T, nxs, nxs)) * 0.4,
+                            jnp.float32)
+            g = jnp.asarray(rng2.normal(size=(T, nxs)), jnp.float32)
+            Lh = rng2.normal(size=(T, nxs, nxs)) * 0.3
+            Lm = jnp.asarray(Lh @ np.swapaxes(Lh, -1, -2), jnp.float32)
+            with jax.default_matmul_precision("highest"):
+                wantS = jax.jit(lambda *e: jax.lax.associative_scan(
+                    lambda l, r: _smooth_combine(r, l), e,
+                    reverse=True))(E, g, Lm)
+            xT, _ = jax.jit(lambda *e: smooth_scan(*e))(E, g, Lm)
+            errS = float(jnp.max(jnp.abs(xT - wantS[1]))
+                         / (1e-6 + float(jnp.max(jnp.abs(wantS[1])))))
+            ok = ok and errS < 1e-3
+        return bool(ok)
+
+    try:
+        checks["assoc_scan_vs_oracle"] = _assoc_cert(4, with_smooth=False)
     except Exception:
         checks["assoc_scan_vs_oracle"] = False
+    try:
+        checks["assoc_scan_nx6_vs_oracle"] = _assoc_cert(6, with_smooth=True)
+    except Exception:
+        checks["assoc_scan_nx6_vs_oracle"] = False
 
     checks["kernels_verified"] = all(
         v for k, v in checks.items() if isinstance(v, bool))

@@ -29,8 +29,13 @@ def _filter_elems(rng, T, nx):
 
 
 class TestFilterScanKernel:
-    @pytest.mark.parametrize("nx,T,L", [(2, 200, 8), (4, 100, 8),
-                                        (3, 64, 8)])
+    # nx capped at 3 here: the interpret-mode emulation of the unrolled
+    # plane combine grows ~nx^3 ops and its XLA *CPU* compile alone runs
+    # >10 min at nx=4 (same pathology as the plane-graph note in
+    # CLAUDE.md).  nx ≥ 4 numerics are certified against the
+    # HIGHEST-precision oracle on real hardware every round by
+    # bench.py::certify_kernels (nx=4 and nx=6, filter + smoother).
+    @pytest.mark.parametrize("nx,T,L", [(2, 200, 8), (3, 64, 8)])
     def test_vs_associative_scan(self, nx, T, L):
         rng = np.random.default_rng(nx * 1000 + T)
         A, b, C, eta, J = _filter_elems(rng, T, nx)
@@ -55,7 +60,7 @@ class TestFilterScanKernel:
 
 
 class TestSmoothScanKernel:
-    @pytest.mark.parametrize("nx,T,L", [(2, 120, 8), (4, 80, 8)])
+    @pytest.mark.parametrize("nx,T,L", [(2, 120, 8), (3, 56, 8)])
     def test_vs_reverse_associative_scan(self, nx, T, L):
         rng = np.random.default_rng(nx * 77 + T)
         E = jnp.asarray(rng.normal(size=(T, nx, nx)) * 0.4, jnp.float32)
