@@ -68,8 +68,9 @@ def certify_kernels():
             jax.jit(lambda x, w, k: fused_systematic_gather(x, w, k)[0])(
                 x, we, key)))
         checks["resample_v2_bitwise"] = bool(np.array_equal(got, want))
-    except Exception:
+    except Exception as e:
         checks["resample_v2_bitwise"] = False
+        checks["resample_v2_error"] = repr(e)[:160]
 
     # monotone-routing resample kernel: same bitwise contract
     try:
@@ -79,8 +80,9 @@ def certify_kernels():
         got = np.asarray(jax.device_get(
             jax.jit(fused_systematic_gather_route)(x, we, key)))
         checks["resample_route_bitwise"] = bool(np.array_equal(got, want))
-    except Exception:
+    except Exception as e:
         checks["resample_route_bitwise"] = False
+        checks["resample_route_error"] = repr(e)[:160]
 
     # FFBS chunked sweep: every backward row is an exact forward-particle
     # copy (the one-hot select is a true gather), at the M=1000/N=65536
@@ -103,8 +105,9 @@ def certify_kernels():
                  .all(-1).any(-1).all())
             for t in (0, T // 2, T - 2))
         checks["ffbs_select_exact_copy"] = ok
-    except Exception:
+    except Exception as e:
         checks["ffbs_select_exact_copy"] = False
+        checks["ffbs_select_exact_error"] = repr(e)[:160]
 
     # hardware-PRNG noise kernel: moment sanity on 2^20 draws
     try:
@@ -113,8 +116,9 @@ def certify_kernels():
             abs(float(z.mean())) < 0.01
             and abs(float(z.std()) - 1.0) < 0.01
             and abs(float((z ** 3).mean())) < 0.02)
-    except Exception:
+    except Exception as e:
         checks["noise_moments"] = False
+        checks["noise_error"] = repr(e)[:160]
 
     # fused associative-scan kernel vs the HIGHEST-precision XLA oracle
     # (real Mosaic output; the default bf16 oracle passes drift ~1e-2).
@@ -162,14 +166,19 @@ def certify_kernels():
             ok = ok and errS < 1e-3
         return bool(ok)
 
+    # record the exception repr alongside any False so a Mosaic crash on
+    # the untested-in-CI nx>=4 hardware layouts is diagnosable from the
+    # JSON artifact (ADVICE r3: interpret-mode CI caps at nx=3)
     try:
         checks["assoc_scan_vs_oracle"] = _assoc_cert(4, with_smooth=False)
-    except Exception:
+    except Exception as e:
         checks["assoc_scan_vs_oracle"] = False
+        checks["assoc_scan_error"] = repr(e)[:160]
     try:
         checks["assoc_scan_nx6_vs_oracle"] = _assoc_cert(6, with_smooth=True)
-    except Exception:
+    except Exception as e:
         checks["assoc_scan_nx6_vs_oracle"] = False
+        checks["assoc_scan_nx6_error"] = repr(e)[:160]
 
     checks["kernels_verified"] = all(
         v for k, v in checks.items() if isinstance(v, bool))
@@ -536,77 +545,63 @@ def main():
     head_full = (pff_full_rate
                  if (pff_full_ok and pff_full_rate == pff_full_rate
                      and pff_full_rate > pf_rate_full) else pf_rate_full)
+    # KEY ORDER IS LOAD-BEARING (VERDICT r3 weak #1 / ask #1): the driver's
+    # artifact keeps only a bounded TAIL of stdout, so the cert_* flags and
+    # the headline fields are printed LAST, details first.  Notes/method
+    # prose lives in docs/benchmark.md, not here — the whole line must stay
+    # within the capture window so `parsed` is non-null.
+    extra = {
+        "device": jax.devices()[0].device_kind,
+        "method": "T-slope",  # see docs/benchmark.md (relay adds ~27ms RPC)
+        "pf_xla_steps_per_s": round(pf_rate, 1),
+        "pf_resample_every_step_steps_per_s": round(pf_rate_full, 1),
+        "pf_resample_every_step_vs_baseline": round(
+            pf_rate_full / BASELINE_PF_PARTICLE_STEPS_PER_S, 2),
+        "kf_bank1024_passes_per_s": round(kf_rate, 1),
+        "kf_bank_ll_matches_vmap": bool(kf_ll_ok),
+        "kf_bank8192_passes_per_s": round(kf8_rate, 1),
+        "kf_bank8192_ll_matches_vmap": bool(kf8_ll_ok),
+        "ukf_steps_per_s_T50k": round(ukf_rate, 1),
+        "ukf_fused_kernel_steps_per_s_T50k": round(ukf_fused_rate, 1),
+        "ukf_fused_vs_julia_baseline": round(
+            ukf_fused_rate / BASELINE_UKF_STEPS_PER_S, 3),
+        "ukf_bank1024_steps_per_s": round(ukf_bank_rate, 1),
+        "ukf_bank8192_affine_routed_steps_per_s": round(ukf_bank_aff_rate, 1),
+        "ukf_bank8192_affine_routed_vs_julia_baseline": round(
+            ukf_bank_aff_rate / BASELINE_UKF_STEPS_PER_S, 1),
+        "ffbs_weight_evals_per_s_MN1000_T500": round(ffbs_rate, 1),
+        "ffbs_weight_evals_per_s_M1000_N65536": round(ffbs_lg_rate, 1),
+        "parallel_kf_speedup_T1e5": round(pkf_speedup, 2),
+        "parallel_ukf_equiv_steps_per_s_T50k": round(pukf_rate, 1),
+        "parallel_ukf_vs_julia_baseline": round(
+            pukf_rate / BASELINE_UKF_STEPS_PER_S, 2),
+        "parallel_ukf_nonlinear_steps_per_s_it4": round(pukf_nl_rate, 1),
+        "parallel_ukf_nonlinear_vs_julia_baseline": round(
+            pukf_nl_rate / BASELINE_UKF_STEPS_PER_S, 2),
+        # rooflines: analytic bytes(or FLOPs) / walltime / v5e peak
+        "pf_xla_bw_util": round(pf_rate * 48 / PEAK_HBM_BYTES, 4),
+        "kf_bank_bw_util": round(kf_rate * 200 * 96 / PEAK_HBM_BYTES, 4),
+        "ffbs_bw_util": round(ffbs_rate * 96 / 1000 / PEAK_HBM_BYTES, 4),
+        "ffbs_mfu_vs_bf16peak": round(ffbs_mfu, 5),
+        "pf_resample_every_step_mfu_vs_bf16peak": round(pf_full_mfu, 5),
+        "kf_bank1024_mfu_vs_bf16peak": round(kf_mfu, 7),
+        # ---- certs + headline: keep LAST (tail-capture survival) ----
+        **{f"cert_{k}": v for k, v in cert.items()},
+        "pf_path": "pallas_fused_scan" if use_fused else "xla_scan",
+        "pf_fused_ll_matches_kf": bool(pff_ok),
+        "pf_fused_steps_per_s": round(pff_rate, 1),
+        "pf_always_resample_best_steps_per_s": round(head_full, 1),
+        "pf_always_resample_best_vs_baseline": round(
+            head_full / BASELINE_PF_PARTICLE_STEPS_PER_S, 2),
+        "headline_vs_baseline": round(
+            head_rate / BASELINE_PF_PARTICLE_STEPS_PER_S, 2),
+    }
     out = {
         "metric": "bootstrap_pf_particle_steps_per_s_N1e5",
         "value": round(head_rate, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(head_rate / BASELINE_PF_PARTICLE_STEPS_PER_S, 2),
-        "extra": {
-            "pf_path": "pallas_fused_scan" if use_fused else "xla_scan",
-            "pf_fused_steps_per_s": round(pff_rate, 1),
-            "pf_fused_ll_matches_kf": bool(pff_ok),
-            "pf_fused_always_resample_steps_per_s": round(pff_full_rate, 1),
-            "pf_xla_steps_per_s": round(pf_rate, 1),
-            "pf_always_resample_best_steps_per_s": round(head_full, 1),
-            "pf_always_resample_best_vs_baseline": round(
-                head_full / BASELINE_PF_PARTICLE_STEPS_PER_S, 2),
-            "parallel_ukf_equiv_steps_per_s_T50k": round(pukf_rate, 1),
-            "parallel_ukf_vs_julia_baseline": round(
-                pukf_rate / BASELINE_UKF_STEPS_PER_S, 3),
-            "parallel_ukf_walltime_s": round(pukf_dt, 4),
-            "parallel_ukf_nonlinear_steps_per_s_it4": round(
-                pukf_nl_rate, 1),
-            "parallel_ukf_nonlinear_vs_julia_baseline": round(
-                pukf_nl_rate / BASELINE_UKF_STEPS_PER_S, 3),
-            # roofline fields: analytic bytes-moved / walltime / 819 GB/s
-            "pf_xla_bw_util": round(pf_rate * 48 / PEAK_HBM_BYTES, 4),
-            "kf_bank_bw_util": round(kf_rate * 200 * 96 / PEAK_HBM_BYTES, 4),
-            "ffbs_bw_util": round(ffbs_rate * 96 / 1000 / PEAK_HBM_BYTES, 4),
-            "bw_note": "analytic bytes models: PF 48 B/particle-step "
-                       "(XLA fusion passes over the [N,2] cloud), KF bank "
-                       "96 B/step, FFBS 96 B/forward-particle (3 input "
-                       "planes); fused-scan paths keep state in VMEM so "
-                       "no bw field applies",
-            **{f"cert_{k}": v for k, v in cert.items()},
-            "pf_walltime_s_T1000": round(pf_dt, 4),
-            "pf_resample_every_step_steps_per_s": round(pf_rate_full, 1),
-            "pf_resample_every_step_vs_baseline": round(
-                pf_rate_full / BASELINE_PF_PARTICLE_STEPS_PER_S, 2
-            ),
-            "kf_bank1024_passes_per_s": round(kf_rate, 1),
-            "kf_bank1024_walltime_s_T200": round(kf_dt, 4),
-            "kf_bank_path": "shared_riccati",
-            "kf_bank_ll_matches_vmap": bool(kf_ll_ok),
-            "kf_bank8192_passes_per_s": round(kf8_rate, 1),
-            "kf_bank8192_ll_matches_vmap": bool(kf8_ll_ok),
-            "ukf_steps_per_s_T50k": round(ukf_rate, 1),
-            "ukf_vs_julia_baseline": round(ukf_rate / BASELINE_UKF_STEPS_PER_S, 3),
-            "ukf_fused_kernel_steps_per_s_T50k": round(ukf_fused_rate, 1),
-            "ukf_fused_vs_xla_scan": round(ukf_fused_rate / ukf_rate, 2),
-            "ukf_fused_vs_julia_baseline": round(
-                ukf_fused_rate / BASELINE_UKF_STEPS_PER_S, 3
-            ),
-            "ffbs_weight_evals_per_s_MN1000_T500": round(ffbs_rate, 1),
-            "ffbs_weight_evals_per_s_M1000_N65536": round(ffbs_lg_rate, 1),
-            "parallel_kf_speedup_T1e5": round(pkf_speedup, 2),
-            "parallel_kf_walltime_s_T1e5": round(pkf_par, 4),
-            "ukf_bank1024_steps_per_s": round(ukf_bank_rate, 1),
-            "ukf_bank1024_vs_julia_baseline": round(
-                ukf_bank_rate / BASELINE_UKF_STEPS_PER_S, 2
-            ),
-            "ukf_bank8192_affine_routed_steps_per_s": round(
-                ukf_bank_aff_rate, 1),
-            "ukf_bank8192_affine_routed_vs_julia_baseline": round(
-                ukf_bank_aff_rate / BASELINE_UKF_STEPS_PER_S, 2),
-            "ffbs_mfu_vs_bf16peak": round(ffbs_mfu, 5),
-            "pf_resample_every_step_mfu_vs_bf16peak": round(pf_full_mfu, 5),
-            "kf_bank1024_mfu_vs_bf16peak": round(kf_mfu, 7),
-            "mfu_note": "analytic model FLOPs / walltime / 197e12 (v5e bf16 peak)",
-            "method": "T-slope steady-state rates (the axon relay adds "
-                      "~27 ms per-dispatch RPC; wall-times at the base T "
-                      "are reported alongside)",
-            "device": jax.devices()[0].device_kind,
-        },
+        "extra": extra,
     }
     print(json.dumps(out))
 

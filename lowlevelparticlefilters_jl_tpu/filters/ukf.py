@@ -160,8 +160,9 @@ class UnscentedKalmanFilter(AbstractKalmanFilter):
 
         ``fused=True`` runs the forward pass through the whole-scan
         pallas kernel (:meth:`forward_trajectory_fused`) — ~5× fewer
-        per-step launches on TPU; opt-in because the kernel path is f32
-        and not differentiable (no custom VJP).
+        per-step launches on TPU; the kernel computes in f32 and carries
+        a custom_jvp that re-routes through the XLA scan under
+        differentiation (ops/pallas/adroute.py).
         """
         from ..trajectory import forward_trajectory
         from ..utils.solutions import KalmanSmoothingSolution

@@ -74,8 +74,15 @@ def _flatten(fn, nx, nu, p):
     lits = [jnp.asarray(c) for c in closed.consts]
     consts = [*lits, *tracer_consts]
     n_lit = len(lits)
+    # 0-D consts (scalar parameters captured in the callback closure)
+    # can't live in VMEM refs read as c[:] — ship them as (1, 1) and
+    # restore the scalar shape before jaxpr evaluation
+    shapes = [jnp.shape(c) for c in consts]
+    consts = [jnp.asarray(c).reshape(1, 1) if jnp.ndim(c) == 0
+              else jnp.asarray(c) for c in consts]
 
     def flat(x, u, tk, *cs):
+        cs = [c.reshape(s) if s == () else c for c, s in zip(cs, shapes)]
         args = (x, u, tk) if nu > 0 else (x, tk)
         (out,) = jax.core.eval_jaxpr(closed.jaxpr, cs[:n_lit], *args,
                                      *cs[n_lit:])
@@ -170,8 +177,12 @@ def _flatten_density(d, ny):
     lits = [jnp.asarray(c) for c in closed.consts]
     consts = [*lits, *tracer_consts]
     n_lit = len(lits)
+    shapes = [jnp.shape(c) for c in consts]
+    consts = [jnp.asarray(c).reshape(1, 1) if jnp.ndim(c) == 0
+              else jnp.asarray(c) for c in consts]
 
     def flat(e, *cs):
+        cs = [c.reshape(s) if s == () else c for c, s in zip(cs, shapes)]
         (out,) = jax.core.eval_jaxpr(closed.jaxpr, cs[:n_lit], e,
                                      *cs[n_lit:])
         return out
@@ -256,26 +267,57 @@ def pf_stats_fused(pf, u, y, seed, x0: Optional[jax.Array] = None,
     return means, covs, ll, nres
 
 
+def _pf_xla_path(pf, u, y, seed, want_means: bool, want_cov: bool):
+    """The XLA-scan equivalent of the fused kernel (same estimator, same
+    return structure) — the off-TPU fallback AND the autodiff route."""
+    key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
+    if want_means:
+        sol = pf.forward_trajectory(u, y, key=key)
+        means = jnp.einsum("tn,tnd->td", sol.we, sol.x)
+        if want_cov:
+            d = sol.x - means[:, None, :]
+            covs = jnp.einsum("tn,tnd,tne->tde", sol.we, d, d)
+            return means, covs, sol.ll, jnp.float32(jnp.nan)
+        return means, sol.ll, jnp.float32(jnp.nan)
+    return pf.loglik(u, y, key=key), jnp.float32(jnp.nan)
+
+
 def _pf_scan_fused(pf, u, y, seed, x0, force_kernel, _debug_no_resample,
                    want_means: bool, want_cov: bool = False):
-    import os
-
-    dbg = os.environ.get("PF_SCAN_DEBUG", "")
     if not pf_scan_supported(pf):
         raise ValueError("pf_loglik_fused: unsupported filter config "
                          "(see pf_scan_supported)")
     if not _on_tpu() and not force_kernel:
-        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
-        if want_means:
-            sol = pf.forward_trajectory(u, y, key=key)
-            means = jnp.einsum("tn,tnd->td", sol.we, sol.x)
-            if want_cov:
-                d = sol.x - means[:, None, :]
-                covs = jnp.einsum("tn,tnd,tne->tde", sol.we, d, d)
-                return means, covs, sol.ll, jnp.float32(jnp.nan)
-            return means, sol.ll, jnp.float32(jnp.nan)
-        return pf.loglik(u, y, key=key), jnp.float32(jnp.nan)
+        return _pf_xla_path(pf, u, y, seed, want_means, want_cov)
 
+    # custom_jvp routing (adroute.py): jax.grad of a fused loglik follows
+    # the XLA scan — closure-captured parameter tracers included.  x0 is
+    # kernel-internal (sharded composition) and stays out of the AD args.
+    from .adroute import route_ad
+
+    seed_arr = jnp.asarray(seed, jnp.int32)
+    if u is None:
+        return route_ad(
+            lambda y_, s_: _pf_kernel_run(pf, None, y_, s_, x0,
+                                          _debug_no_resample, want_means,
+                                          want_cov),
+            lambda y_, s_: _pf_xla_path(pf, None, y_, s_, want_means,
+                                        want_cov),
+            jnp.asarray(y, jnp.float32), seed_arr)
+    return route_ad(
+        lambda u_, y_, s_: _pf_kernel_run(pf, u_, y_, s_, x0,
+                                          _debug_no_resample, want_means,
+                                          want_cov),
+        lambda u_, y_, s_: _pf_xla_path(pf, u_, y_, s_, want_means,
+                                        want_cov),
+        jnp.asarray(u, jnp.float32), jnp.asarray(y, jnp.float32), seed_arr)
+
+
+def _pf_kernel_run(pf, u, y, seed, x0, _debug_no_resample,
+                   want_means: bool, want_cov: bool = False):
+    import os
+
+    dbg = os.environ.get("PF_SCAN_DEBUG", "")
     y = jnp.asarray(y, jnp.float32)
     T, ny = y.shape
     N, nx = pf.N, pf.nx

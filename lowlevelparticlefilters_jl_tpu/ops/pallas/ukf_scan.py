@@ -192,6 +192,31 @@ def ukf_loglik_fused(ukf, ys, us: Optional[jax.Array] = None,
     if _want_traj and -(-T // 128) * _n_meta(nx, ny) * 128 * 4 > (64 << 20):
         # solution planes would exceed the VMEM output budget
         return forward_trajectory(ukf, us, ys)
+
+    # custom_jvp routing (adroute.py): under jax.grad the fused kernel is
+    # swapped for the exactly-equivalent XLA scan, with closure-captured
+    # parameter tracers (in ukf.dynamics / the measurement callback / R1 /
+    # d0) carried by closure_convert.
+    from .adroute import route_ad
+
+    def _xla(y_, u_):
+        if _want_traj:
+            return forward_trajectory(ukf, u_, y_)
+        return xla_loglik(ukf, u_, y_)
+
+    if us is None:
+        return route_ad(
+            lambda y_: _ukf_kernel_run(ukf, y_, None, _want_traj),
+            lambda y_: _xla(y_, None), ys)
+    return route_ad(
+        lambda y_, u_: _ukf_kernel_run(ukf, y_, u_, _want_traj),
+        _xla, ys, jnp.asarray(us, jnp.float32))
+
+
+def _ukf_kernel_run(ukf, ys, us, _want_traj: bool):
+    mm = ukf.measurement_model
+    T, ny = ys.shape
+    nx = ukf.nx
     wp = ukf.weight_params
     W = ukf_weights(wp, nx)
     Ts = float(ukf.Ts)
@@ -250,8 +275,16 @@ def ukf_loglik_fused(ukf, ys, us: Optional[jax.Array] = None,
         lits = [jnp.asarray(c) for c in closed.consts]
         consts = [*lits, *tracer_consts]
         n_lit = len(lits)
+        # 0-D consts (scalar parameters captured in the callback
+        # closure) can't live in VMEM refs read as c[:] — ship as (1, 1)
+        # and restore the scalar shape before jaxpr evaluation
+        shapes = [jnp.shape(c) for c in consts]
+        consts = [jnp.asarray(c).reshape(1, 1) if jnp.ndim(c) == 0
+                  else jnp.asarray(c) for c in consts]
 
         def flat(x, u, tk, *cs):
+            cs = [c.reshape(s) if s == () else c
+                  for c, s in zip(cs, shapes)]
             args = (x, u, tk) if nu > 0 else (x, tk)
             (out,) = jax.core.eval_jaxpr(
                 closed.jaxpr, cs[:n_lit], *args, *cs[n_lit:]
@@ -439,6 +472,28 @@ def ekf_loglik_fused(ekf, ys, us: Optional[jax.Array] = None,
     nx = ekf.nx
     if _want_traj and -(-T // 128) * _n_meta(nx, ny) * 128 * 4 > (64 << 20):
         return forward_trajectory(ekf, us, ys)
+
+    # custom_jvp routing — see ukf_loglik_fused above / adroute.py
+    from .adroute import route_ad
+
+    def _xla(y_, u_):
+        if _want_traj:
+            return forward_trajectory(ekf, u_, y_)
+        return xla_loglik(ekf, u_, y_)
+
+    if us is None:
+        return route_ad(
+            lambda y_: _ekf_kernel_run(ekf, y_, None, _want_traj),
+            lambda y_: _xla(y_, None), ys)
+    return route_ad(
+        lambda y_, u_: _ekf_kernel_run(ekf, y_, u_, _want_traj),
+        _xla, ys, jnp.asarray(us, jnp.float32))
+
+
+def _ekf_kernel_run(ekf, ys, us, _want_traj: bool):
+    mm = ekf.measurement_model
+    T, ny = ys.shape
+    nx = ekf.nx
     Ts = float(ekf.Ts)
     p = ekf.p
     f = ekf.dynamics
@@ -484,8 +539,16 @@ def ekf_loglik_fused(ekf, ys, us: Optional[jax.Array] = None,
         lits = [jnp.asarray(c) for c in closed.consts]
         consts = [*lits, *tracer_consts]
         n_lit = len(lits)
+        # 0-D consts (scalar parameters captured in the callback
+        # closure) can't live in VMEM refs read as c[:] — ship as (1, 1)
+        # and restore the scalar shape before jaxpr evaluation
+        shapes = [jnp.shape(c) for c in consts]
+        consts = [jnp.asarray(c).reshape(1, 1) if jnp.ndim(c) == 0
+                  else jnp.asarray(c) for c in consts]
 
         def flat(x, u, tk, *cs):
+            cs = [c.reshape(s) if s == () else c
+                  for c, s in zip(cs, shapes)]
             args = (x, u, tk) if nu > 0 else (x, tk)
             (out,) = jax.core.eval_jaxpr(
                 closed.jaxpr, cs[:n_lit], *args, *cs[n_lit:]

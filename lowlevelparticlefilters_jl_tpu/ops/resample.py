@@ -6,8 +6,8 @@ same algorithm is a parallel prefix-sum (`jnp.cumsum`, which XLA lowers to a
 log-depth scan) followed by a vectorized `searchsorted` binary search — both
 map onto the VPU with no sequential dependence on N.  The production fused
 kernel for the N >= 32768 regime is ``ops/pallas/resample_v2.py`` (index +
-gather in one pallas call, ~224 µs at N=1e5 on v5e, bitwise exact);
-``ops/pallas/resample_kernel.py`` is the superseded v1 experiment.
+gather in one pallas call, ~224 µs at N=1e5 on v5e, bitwise exact), with
+``ops/pallas/resample_route.py`` extending admission past its VMEM envelope.
 
 All resamplers are shape-static and `lax.cond`/`scan`-compatible: they take a
 PRNG key and return an int32 index vector ``j`` of length M.

@@ -53,15 +53,28 @@ def _state_indep_flag(M, x0, u0, p, t0, Ts=1.0):
     The temporal-parallel filter resolves callable matrices at ``x0`` for
     every step, which is only valid for matrices that do NOT depend on the
     state.  Returns None for non-callable specs; otherwise a boolean that is
-    False when the callable's value changes under a state perturbation —
-    ANDed into ``sol.ok`` so a state-dependent model surfaces as an invalid
-    solution instead of silently wrong numbers.
+    False when the callable's value changes under state or input
+    perturbations — ANDed into ``sol.ok`` so a state-dependent model
+    surfaces as an invalid solution instead of silently wrong numbers.
+
+    Probes TWO fixed pseudo-random state directions (not a single
+    ``x0 + 1.0`` shift, which any matrix periodic or flat along that one
+    direction would false-pass).  No input perturbation is probed:
+    ``_resolve_seq`` evaluates callables at each step's ACTUAL ``u_seq[t]``,
+    so u-dependent matrices are resolved exactly on this path and must not
+    be flagged.
     """
     if M is None or not (callable(M) and not isinstance(M, jax.Array)):
         return None
     a = resolve_mat(M, x0, u0, p, t0, Ts=Ts)
-    b = resolve_mat(M, x0 + 1.0, u0, p, t0, Ts=Ts)
-    return jnp.all(jnp.abs(a - b) <= 1e-6 * (1.0 + jnp.abs(a)))
+    # fixed (key-less, so jit-cacheable) irrational-stride probe directions
+    d1 = jnp.cos(1.0 + 2.399963 * jnp.arange(x0.shape[-1], dtype=x0.dtype))
+    d2 = jnp.sin(0.5 + 1.618034 * jnp.arange(x0.shape[-1], dtype=x0.dtype))
+    ok = jnp.array(True)
+    for dx in (1.7 * d1, -0.9 * d2):
+        b = resolve_mat(M, x0 + dx, u0, p, t0, Ts=Ts)
+        ok = ok & jnp.all(jnp.abs(a - b) <= 1e-6 * (1.0 + jnp.abs(a)))
+    return ok
 
 
 def _filter_elements(F, c, H, Q, R, y, m0, P0):

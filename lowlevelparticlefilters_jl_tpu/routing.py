@@ -1,0 +1,316 @@
+"""Unified production dispatch for the reference-parity verbs.
+
+The reference's ``forward_trajectory`` IS its fastest execution
+(/root/reference/src/filtering.jl:282-327).  Here the headline speeds live
+in specialist kernels (``ops/pallas/pf_scan.py``, ``ukf_scan.py``) and the
+temporal-parallel plane pipelines (``parallel/temporal.py``); this module
+routes the plain verbs — ``loglik``, ``forward_trajectory``, ``smooth``,
+``mean_trajectory`` — onto those paths automatically under their static
+admission gates, so a migrating user gets the fast execution without
+importing anything pallas-shaped (VERDICT r3 ask #2).
+
+Every verb takes ``method=``:
+
+- ``"auto"`` (default): fastest supported path.  Fused/parallel paths are
+  auto-selected on TPU only — the XLA-CPU backend compiles the unrolled
+  plane graphs in minutes at nx ≥ 4 (docs/troubleshooting.md) and runs
+  interpret-mode pallas, so CPU defaults to the sequential scan.
+- ``"sequential"``: the plain `lax.scan` recursion, always.
+- ``"fused"``: force the whole-scan Mosaic kernel path (falls back with a
+  route record when the filter is out of kernel scope).
+- ``"parallel"``: force the temporal-parallel associative-scan path.
+
+Differentiation needs no special casing: the fused kernels carry
+custom_jvps that re-route through the XLA scan (ops/pallas/adroute.py),
+and the assoc-scan kernels likewise (ops/pallas/assoc_scan.py), so every
+route is `jax.grad`-able.
+
+Routing decisions are static (trace-time): ``last_route()`` reports which
+path the most recent verb took, and is asserted in tests/test_routing.py.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# verb -> path string ("xla_scan" | "pallas_fused_scan" |
+# "temporal_parallel" | ...), recorded at trace time
+_LAST: dict = {}
+
+#: auto-routing thresholds: minimum trajectory length for the temporal-
+#: parallel path to be worth its O(T log T) work and element setup.  The
+#: assoc-scan path's per-step marginal cost is ~2 ns vs ~0.5-1 µs for the
+#: sequential scan on v5e, so the crossover is early; 256 keeps tiny
+#: interactive calls on the cheap-to-compile scan.
+T_PARALLEL = 256
+
+METHODS = ("auto", "sequential", "fused", "parallel")
+
+
+def _record(verb: str, path: str) -> None:
+    _LAST[verb] = path
+    _LAST["last"] = path
+
+
+def last_route(verb: str = "last") -> Optional[str]:
+    """The execution path the most recent verb dispatched to (trace-time
+    record; stable under jit because routing is static)."""
+    return _LAST.get(verb)
+
+
+def _check_method(method: str) -> None:
+    if method not in METHODS:
+        raise ValueError(f"method must be one of {METHODS}, got {method!r}")
+
+
+def _on_tpu() -> bool:
+    from .ops.pallas.noise import _on_tpu as f
+
+    return f()
+
+
+def seed_from_key(key) -> jax.Array:
+    """Derive the fused PF kernel's int32 seed from a PRNG key (typed or
+    raw uint32) — deterministic, full-entropy fold."""
+    bits = jax.random.bits(key, (2,), jnp.uint32)
+    return (bits[0] ^ (bits[1] << 7)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Admission predicates (static, conservative — fail closed to sequential)
+# ---------------------------------------------------------------------------
+
+
+def _is_plain_kf(f) -> bool:
+    from .filters.kalman import KalmanFilter
+
+    return type(f) is KalmanFilter
+
+
+def _arrays_only(kf) -> bool:
+    """All system matrices constant or stacked arrays (no callables)."""
+    return all(
+        M is None or isinstance(M, jax.Array) or not callable(M)
+        for M in (kf.A, kf.B, kf.C, kf.D, kf.R1, kf.R2)
+    )
+
+
+def _kf_parallel_ok(kf, T: int, *, need_arrays: bool) -> bool:
+    """Admission for parallel_forward_trajectory / parallel_rts_smooth.
+
+    ``need_arrays``: verbs that return only a scalar (loglik) cannot
+    surface the runtime ``sol.ok`` state-independence flag, so callable
+    matrices are excluded there; solution-returning verbs admit callables
+    (flagged via ``ok`` at runtime by _state_indep_flag).
+    """
+    if not _is_plain_kf(kf):
+        return False
+    if not isinstance(kf.alpha, (int, float)) or float(kf.alpha) != 1.0:
+        return False
+    if getattr(kf, "R12", None) is not None:
+        return False
+    nx, ny = kf.nx, kf.ny
+    if nx > 8 or ny > 8:
+        return False
+    if need_arrays and not _arrays_only(kf):
+        return False
+    return T >= 2
+
+
+def _want_parallel(method: str, T: int) -> bool:
+    if method == "parallel":
+        return True
+    return method == "auto" and _on_tpu() and T >= T_PARALLEL
+
+
+def _want_fused(method: str) -> bool:
+    return method == "fused" or (method == "auto" and _on_tpu())
+
+
+# ---------------------------------------------------------------------------
+# loglik routing
+# ---------------------------------------------------------------------------
+
+
+def route_pf_loglik(pf, u, y, p, key, state0, method: str):
+    """Fused whole-scan kernel for the bootstrap-PF log-likelihood.
+    Returns None when the sequential scan should run."""
+    _check_method(method)
+    if method in ("sequential", "parallel") or not _want_fused(method):
+        _record("loglik", "xla_scan")
+        return None
+    from .ops.pallas.pf_scan import pf_loglik_fused, pf_scan_supported
+
+    if (
+        state0 is not None
+        or key is None
+        or (p is not None and p is not getattr(pf, "p", None))
+        or not pf_scan_supported(pf)
+    ):
+        _record("loglik", "xla_scan")
+        return None
+    _record("loglik", "pallas_fused_scan")
+    ll, _ = pf_loglik_fused(pf, u, y, seed_from_key(key))
+    return ll
+
+
+def route_kalman_loglik(f, u, y, p, method: str, kwargs: dict):
+    """loglik routing for KF/UKF/EKF: temporal-parallel for long linear
+    trajectories, else the fused whole-scan kernel.  Returns None for the
+    sequential scan."""
+    _check_method(method)
+    if kwargs or method == "sequential":
+        if method != "auto" or kwargs:
+            _record("loglik", "xla_scan")
+            return None
+    from .filters.ekf import ExtendedKalmanFilter
+    from .filters.ukf import UnscentedKalmanFilter
+
+    T = jnp.shape(y)[0]
+    if _is_plain_kf(f) and p is None:
+        if _want_parallel(method, T) and _kf_parallel_ok(
+            f, T, need_arrays=True
+        ):
+            from .parallel.temporal import parallel_forward_trajectory
+
+            _record("loglik", "temporal_parallel")
+            return parallel_forward_trajectory(f, u, y, p).ll
+        if _want_fused(method) and f._fused_delegate() is not None:
+            _record("loglik", "pallas_fused_scan")
+            return f.loglik_fused(y, u)
+        _record("loglik", "xla_scan")
+        return None
+    if p is None and _want_fused(method):
+        if type(f) is UnscentedKalmanFilter:
+            from .ops.pallas.ukf_scan import _supported, ukf_loglik_fused
+
+            if _supported(f, f.measurement_model):
+                _record("loglik", "pallas_fused_scan")
+                return ukf_loglik_fused(f, jnp.asarray(y), u)
+        elif type(f) is ExtendedKalmanFilter:
+            from .ops.pallas.ukf_scan import _ekf_supported, ekf_loglik_fused
+
+            if _ekf_supported(f, f.measurement_model):
+                _record("loglik", "pallas_fused_scan")
+                return ekf_loglik_fused(f, jnp.asarray(y), u)
+    _record("loglik", "xla_scan")
+    return None
+
+
+# ---------------------------------------------------------------------------
+# forward_trajectory routing
+# ---------------------------------------------------------------------------
+
+
+def route_forward_trajectory(f, u, y, p, method: str, has_callbacks: bool,
+                             kwargs: dict):
+    """Solution-returning verb: temporal-parallel for long plain-KF
+    trajectories (callable matrices admitted — flagged via sol.ok), else
+    the fused whole-scan solution kernels.  None -> sequential scan."""
+    _check_method(method)
+    if method == "sequential" or has_callbacks or kwargs.get("mm") is not None:
+        _record("forward_trajectory", "xla_scan")
+        return None
+    from .filters.ekf import ExtendedKalmanFilter
+    from .filters.ukf import UnscentedKalmanFilter
+
+    T = jnp.shape(y)[0]
+    if _is_plain_kf(f) and p is None and isinstance(
+        u, (jax.Array, type(None))
+    ):
+        if _want_parallel(method, T) and _kf_parallel_ok(
+            f, T, need_arrays=False
+        ):
+            from .parallel.temporal import parallel_forward_trajectory
+
+            _record("forward_trajectory", "temporal_parallel")
+            return parallel_forward_trajectory(f, u, y, p)
+        if _want_fused(method) and f._fused_delegate() is not None:
+            _record("forward_trajectory", "pallas_fused_scan")
+            return f.forward_trajectory_fused(u, y)
+        _record("forward_trajectory", "xla_scan")
+        return None
+    if p is None and _want_fused(method):
+        if type(f) is UnscentedKalmanFilter:
+            from .ops.pallas.ukf_scan import (
+                _supported, ukf_forward_trajectory_fused)
+
+            if _supported(f, f.measurement_model):
+                _record("forward_trajectory", "pallas_fused_scan")
+                return ukf_forward_trajectory_fused(f, u, jnp.asarray(y))
+        elif type(f) is ExtendedKalmanFilter:
+            from .ops.pallas.ukf_scan import (
+                _ekf_supported, ekf_forward_trajectory_fused)
+
+            if _ekf_supported(f, f.measurement_model):
+                _record("forward_trajectory", "pallas_fused_scan")
+                return ekf_forward_trajectory_fused(f, u, jnp.asarray(y))
+    _record("forward_trajectory", "xla_scan")
+    return None
+
+
+# ---------------------------------------------------------------------------
+# smooth routing
+# ---------------------------------------------------------------------------
+
+
+def route_smooth(f, u, y, p, method: str, kwargs: dict):
+    """Temporal-parallel smoothers for long trajectories: plain-KF RTS via
+    the assoc-scan plane pipeline; UKF/EKF via the iterated sigma-point /
+    extended parallel smoothers (exact in one pass on affine models).
+    None -> sequential backward scan."""
+    _check_method(method)
+    if method == "sequential" or kwargs:
+        _record("smooth", "xla_scan")
+        return None
+    from .filters.ekf import ExtendedKalmanFilter
+    from .filters.ukf import UnscentedKalmanFilter
+
+    T = jnp.shape(y)[0]
+    if not _want_parallel(method, T):
+        _record("smooth", "xla_scan")
+        return None
+    if _is_plain_kf(f) and _kf_parallel_ok(f, T, need_arrays=False):
+        from .parallel.temporal import parallel_rts_smooth
+
+        _record("smooth", "temporal_parallel")
+        return parallel_rts_smooth(f, u, y, p)
+    if type(f) is UnscentedKalmanFilter and f.nx <= 8 and p is None \
+            and not getattr(f, "augmented_dynamics", False):
+        from .parallel.temporal import parallel_ukf_smooth
+
+        _record("smooth", "temporal_parallel")
+        return parallel_ukf_smooth(f, u, y, p)
+    if type(f) is ExtendedKalmanFilter and f.nx <= 8 and p is None:
+        from .parallel.temporal import parallel_iekf_smooth
+
+        _record("smooth", "temporal_parallel")
+        return parallel_iekf_smooth(f, u, y, p)
+    _record("smooth", "xla_scan")
+    return None
+
+
+# ---------------------------------------------------------------------------
+# mean_trajectory routing (PF state-tracking verb, filtering.jl:393-440)
+# ---------------------------------------------------------------------------
+
+
+def route_pf_mean_trajectory(pf, u, y, p, key, method: str):
+    """Fused in-VMEM mean accumulation (pf_mean_fused) for supported
+    bootstrap PFs; None -> run forward_trajectory + weighted mean."""
+    _check_method(method)
+    if method in ("sequential", "parallel") or not _want_fused(method):
+        _record("mean_trajectory", "xla_scan")
+        return None
+    from .ops.pallas.pf_scan import pf_mean_fused, pf_scan_supported
+
+    if key is None or (
+        p is not None and p is not getattr(pf, "p", None)
+    ) or not pf_scan_supported(pf):
+        _record("mean_trajectory", "xla_scan")
+        return None
+    _record("mean_trajectory", "pallas_fused_scan")
+    means, _, _ = pf_mean_fused(pf, u, y, seed_from_key(key))
+    return means

@@ -365,10 +365,19 @@ def simulate_ensemble(f, u, key: jax.Array, n_runs: int, p=None, **kwargs):
     """N-run Monte-Carlo simulation — the MonteCarloMeasurements-extension
     analogue (/root/reference/ext/LowLevelParticleFiltersMonteCarloMeasurementsExt.jl:10-31):
     instead of `Particles` uncertainty types, returns stacked arrays
-    ``(x [n_runs, T, nx], u [T, nu], y [n_runs, T, ny])`` — the natural
-    JAX representation of a trajectory ensemble (reduce with mean/std/
+    ``(x [n_runs, T, nx], u, y [n_runs, T, ny])`` — the natural JAX
+    representation of a trajectory ensemble (reduce with mean/std/
     quantiles along axis 0).
+
+    The returned ``u`` matches how inputs were generated: with an explicit
+    ``u`` array every run shares it, so the [T, nu] array is returned
+    as-is; with the integer-T + ``du`` form each run samples its OWN input
+    sequence (as the reference ext does — u becomes a Particles ensemble
+    there too), so the full stacked [n_runs, T, nu] array is returned and
+    ``u[i]`` pairs with ``x[i]``/``y[i]``.
     """
     keys = jax.random.split(key, n_runs)
     xs, us, ys = jax.vmap(lambda k: simulate(f, u, k, p, **kwargs))(keys)
+    if isinstance(u, int):
+        return xs, us, ys
     return xs, us[0], ys
