@@ -197,6 +197,7 @@ from .utils.analysis import (
     covar,
     kalman_filter_from_ss,
 )
+from .routing import last_route  # which path the last verb dispatched to
 from .utils.checkpoint import save_pytree, load_pytree, resume_state
 from .utils import plotting  # matplotlib-gated; access via llpf.plotting.*
 

@@ -269,7 +269,7 @@ class KalmanFilter(AbstractKalmanFilter):
 
         ekf = self._fused_delegate()
         if ekf is None:
-            return xla_loglik(self, us, ys)
+            return xla_loglik(self, us, ys, method="sequential")
         return ekf_loglik_fused(ekf, ys, us)
 
     def forward_trajectory_fused(self, us, ys):
@@ -281,7 +281,7 @@ class KalmanFilter(AbstractKalmanFilter):
 
         ekf = self._fused_delegate()
         if ekf is None:
-            return forward_trajectory(self, us, ys)
+            return forward_trajectory(self, us, ys, method="sequential")
         return ekf_forward_trajectory_fused(ekf, us, ys)
 
     # ------------------------------------------------------------------

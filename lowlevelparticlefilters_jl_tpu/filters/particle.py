@@ -140,8 +140,21 @@ class _ParticleCommon(AbstractParticleFilter):
             u=u_seq, y=y, x=xs, w=ws, we=wes, ll=jnp.sum(lls)
         )
 
-    def loglik(self, u, y, p=None, *, key: jax.Array = None, state0: PFState = None):
-        """Low-memory total log-likelihood (smoothing.jl:227-230)."""
+    def loglik(self, u, y, p=None, *, key: jax.Array = None,
+               state0: PFState = None, method: str = "auto"):
+        """Low-memory total log-likelihood (smoothing.jl:227-230).
+
+        ``method="auto"`` dispatches to the fastest supported execution:
+        on TPU a supported bootstrap filter runs the whole-scan Mosaic
+        kernel (ops/pallas/pf_scan.py, routing.py) — same estimator,
+        hardware-PRNG draws seeded from ``key``.  ``method="sequential"``
+        forces the XLA scan; differentiation works on every route.
+        """
+        from ..routing import route_pf_loglik
+
+        routed = route_pf_loglik(self, u, y, p, key, state0, method)
+        if routed is not None:
+            return routed
         y = jnp.asarray(y)
         T = y.shape[0]
         u_seq = _as_u_seq(u, T, y.dtype)
@@ -472,5 +485,9 @@ class AuxiliaryParticleFilter(_ParticleCommon):
             u=u_seq, y=y, x=xs, w=ws, we=wes, ll=jnp.sum(lls)
         )
 
-    def loglik(self, u, y, p=None, *, key=None, state0=None):
+    def loglik(self, u, y, p=None, *, key=None, state0=None,
+               method: str = "auto"):
+        from ..routing import _record
+
+        _record("loglik", "xla_scan")  # APF has no fused kernel
         return self.forward_trajectory(u, y, p, key=key, state0=state0).ll

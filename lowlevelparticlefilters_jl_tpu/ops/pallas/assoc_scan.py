@@ -311,6 +311,59 @@ def filter_scan(A, b, C, eta, J, *, L=None, interpret=None):
             jnp.stack([jnp.stack(list(r), axis=-1) for r in Rt], axis=-2))
 
 
+def filter_scan_full(A, b, C, eta, J, *, L=None, interpret=None):
+    """Inclusive filter prefix scan returning ALL FIVE combined element
+    stacks ``(A, b, C, eta, J) [T, ...]`` — the local level of the
+    time-axis-sharded composition (parallel/sharded.py::
+    sharded_filter_scan needs full elements to fold the cross-device
+    carry, not just the filtered moments).  On TPU the fused Mosaic
+    plane kernel; otherwise (or under differentiation, via route_ad)
+    the XLA associative_scan with the same combine source."""
+    from ...parallel.temporal import _filter_combine, _filter_combine_soa
+    from .adroute import route_ad
+
+    T, nx = b.shape
+
+    def xla_fn(A, b, C, eta, J):
+        return jax.lax.associative_scan(_filter_combine, (A, b, C, eta, J))
+
+    if not scan_supported(nx, jnp.result_type(b.dtype, jnp.float32)) \
+            and interpret is None:
+        return xla_fn(A, b, C, eta, J)
+
+    def kernel_fn(A, b, C, eta, J):
+        elems_p = (_split_mat(A), tuple(b[:, i] for i in range(nx)),
+                   _split_mat(C), tuple(eta[:, i] for i in range(nx)),
+                   _split_mat(J))
+        planes = jnp.stack(_flatten(elems_p)).astype(jnp.float32)
+        struct = _struct_filter(nx)
+        E = planes.shape[0]
+        Lw = _lane_width(nx) if L is None else L
+        out = _plane_scan(planes, _filter_combine_soa, struct,
+                          list(range(E)), L=Lw, interpret=interpret)
+
+        def mat(off):
+            return jnp.stack(
+                [jnp.stack([out[off + i * nx + j] for j in range(nx)], -1)
+                 for i in range(nx)], -2)
+
+        o_b = nx * nx
+        o_C = o_b + nx
+        o_eta = o_C + nx * nx
+        o_J = o_eta + nx
+        return (mat(0),
+                jnp.stack([out[o_b + i] for i in range(nx)], -1),
+                mat(o_C),
+                jnp.stack([out[o_eta + i] for i in range(nx)], -1),
+                mat(o_J))
+
+    return route_ad(kernel_fn, xla_fn,
+                    jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32),
+                    jnp.asarray(C, jnp.float32),
+                    jnp.asarray(eta, jnp.float32),
+                    jnp.asarray(J, jnp.float32))
+
+
 def smooth_scan(E, g, L_, *, L=None, interpret=None):
     """Array-level wrapper of :func:`smooth_scan_p`."""
     T, nx = g.shape

@@ -267,7 +267,72 @@ def pf_stats_fused(pf, u, y, seed, x0: Optional[jax.Array] = None,
     return means, covs, ll, nres
 
 
-def _pf_xla_path(pf, u, y, seed, want_means: bool, want_cov: bool):
+def pf_segment_fused(pf, u, y, seed, x0, w0, force_kernel: bool = False):
+    """One resampling-free PF segment — the per-device building block of
+    the mesh-sharded fused PF (parallel/sharded.py::sharded_pf_loglik_fused).
+
+    Runs ``T`` correct/predict steps of the bootstrap recursion on the
+    local sub-cloud ``x0 [Nloc, nx]`` starting from log-weights ``w0
+    [Nloc]``, with NO resampling and NO global normalization — those
+    happen at segment boundaries with cross-device collectives.  Per step
+    the weights are normalized *locally* for f32 stability and the
+    subtracted constants accumulate into ``ll_local``, so the
+    unnormalized carried weights are recoverable as ``w_fin + ll_local``
+    (the PF per-step ll telescopes between resampling events:
+    Σ_t ll_t = lse(w_end) − lse(w_start), smoothing.jl:227-230 algebra).
+
+    Returns ``(ll_local, x_fin [Nloc, nx], w_fin [Nloc])``.  On TPU this
+    is the whole-segment Mosaic kernel (cloud resident in VMEM);
+    elsewhere an equivalent XLA scan.
+    """
+    x0 = jnp.asarray(x0, jnp.float32)
+    w0 = jnp.asarray(w0, jnp.float32)
+    if not _on_tpu() and not force_kernel:
+        return _pf_segment_xla(pf, u, y, seed, x0, w0)
+    return _pf_kernel_run(pf, u, y, seed, x0, _debug_no_resample=True,
+                          want_means=False, w0=w0, want_final=True,
+                          N_override=x0.shape[0])
+
+
+def _pf_segment_xla(pf, u, y, seed, x0, w0):
+    """XLA-scan equivalent of :func:`pf_segment_fused` (identical
+    contract: local per-step normalization, accumulated ll, no
+    resampling; threefry draws instead of the hardware PRNG)."""
+    y = jnp.asarray(y, jnp.float32)
+    T = y.shape[0]
+    Nloc = x0.shape[0]
+    p = pf.p
+    Ts = float(pf.Ts)
+    u_seq = (jnp.zeros((T, 0), jnp.float32) if u is None
+             else jnp.broadcast_to(jnp.asarray(u, jnp.float32),
+                                   (T,) + jnp.shape(u)[1:]))
+    key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
+    keys = jax.random.split(key, T)
+    tvec = jnp.arange(T, dtype=jnp.float32) * Ts
+
+    g = pf.measurement
+    f = pf.dynamics
+    dmeas = pf.measurement_density
+    ddyn = pf.dynamics_density
+
+    def step(carry, inp):
+        x, w, ll = carry
+        uk, yk, tk, kk = inp
+        yh = jax.vmap(lambda xi: g(xi, uk, p, tk))(x)
+        logp = jax.vmap(dmeas.logpdf)(yk[None, :] - yh)
+        missing = jnp.any(jnp.isnan(yk))
+        w1 = w + jnp.where(missing, 0.0, logp)
+        m = jnp.max(w1)
+        lse = m + jnp.log(jnp.sum(jnp.exp(w1 - m)))
+        ll_t = jnp.where(missing, 0.0, lse)
+        w2 = w1 - ll_t  # subtract exactly the ll contribution (see kernel)
+        xn = jax.vmap(lambda xi: f(xi, uk, p, tk))(x)
+        xn = xn + ddyn.sample(kk, (Nloc,)).astype(xn.dtype)
+        return (xn, w2, ll + ll_t), None
+
+    (x_fin, w_fin, ll), _ = jax.lax.scan(
+        step, (x0, w0, jnp.float32(0.0)), (u_seq, y, tvec, keys))
+    return ll, x_fin, w_fin
     """The XLA-scan equivalent of the fused kernel (same estimator, same
     return structure) — the off-TPU fallback AND the autodiff route."""
     key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
@@ -279,7 +344,10 @@ def _pf_xla_path(pf, u, y, seed, want_means: bool, want_cov: bool):
             covs = jnp.einsum("tn,tnd,tne->tde", sol.we, d, d)
             return means, covs, sol.ll, jnp.float32(jnp.nan)
         return means, sol.ll, jnp.float32(jnp.nan)
-    return pf.loglik(u, y, key=key), jnp.float32(jnp.nan)
+    # method="sequential": this IS the fallback — re-entering the routed
+    # verb would recurse back into the fused path at trace time
+    return (pf.loglik(u, y, key=key, method="sequential"),
+            jnp.float32(jnp.nan))
 
 
 def _pf_scan_fused(pf, u, y, seed, x0, force_kernel, _debug_no_resample,
@@ -314,13 +382,14 @@ def _pf_scan_fused(pf, u, y, seed, x0, force_kernel, _debug_no_resample,
 
 
 def _pf_kernel_run(pf, u, y, seed, x0, _debug_no_resample,
-                   want_means: bool, want_cov: bool = False):
+                   want_means: bool, want_cov: bool = False,
+                   w0=None, want_final: bool = False, N_override=None):
     import os
 
     dbg = os.environ.get("PF_SCAN_DEBUG", "")
     y = jnp.asarray(y, jnp.float32)
     T, ny = y.shape
-    N, nx = pf.N, pf.nx
+    N, nx = (N_override or pf.N), pf.nx
     NL, Npad = _layout_dims(N)
     NB = max(1, (Npad - 1).bit_length())
     Ts = float(pf.Ts)
@@ -411,13 +480,23 @@ def _pf_kernel_run(pf, u, y, seed, x0, _debug_no_resample,
         x0p = jnp.stack([_to_planes(x0[:, d], N, NL) for d in range(nx)])
         has_x0 = True
 
+    if w0 is None:
+        w0p = jnp.zeros((8, NL), jnp.float32)
+        has_w0 = False
+    else:
+        from .resample_route import _to_planes
+
+        w0p = _to_planes(jnp.asarray(w0, jnp.float32), N, NL)
+        has_w0 = True
+
     kernel = functools.partial(
         _pf_kernel, T=T, TB=TB, LB=LB, N=N, NL=NL, NB=NB, nx=nx, ny=ny,
         nu=nu, Ts=Ts, thresh=thresh, nf=nf, ng=ng, nw=nw, f_flat=f_flat,
         g_flat=g_flat, w_flat=w_flat, gauss_meas=gauss_meas,
         use_prng=_on_tpu() and "noprng" not in dbg,
         has_x0=has_x0, no_resample=_debug_no_resample, dbg=dbg,
-        affine=affine, want_means=want_means, want_cov=want_cov)
+        affine=affine, want_means=want_means, want_cov=want_cov,
+        has_w0=has_w0, want_final=want_final)
     nmom = nx + (nx * (nx + 1)) // 2 if want_cov else nx
     consts = [jnp.asarray(c) for c in [*f_consts, *g_consts, *w_consts]]
     out_shape = [
@@ -437,12 +516,17 @@ def _pf_kernel_run(pf, u, y, seed, x0, _debug_no_resample,
         out_shape.append(jax.ShapeDtypeStruct((TB, nmom, LB), jnp.float32))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         scratch.append(pltpu.VMEM((nmom, 8, LB), jnp.float32))  # moment acc
+    if want_final:
+        out_shape.append(jax.ShapeDtypeStruct((nx, 8, NL), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((8, NL), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     with jax.default_matmul_precision("highest"):
         outs = pl.pallas_call(
             kernel,
             out_shape=tuple(out_shape),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (10 + len(consts)),
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (11 + len(consts)),
             out_specs=tuple(out_specs),
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
@@ -450,8 +534,16 @@ def _pf_kernel_run(pf, u, y, seed, x0, _debug_no_resample,
                                      _vmem_need(N, nx) + (16 << 20))),
             interpret=pltpu.InterpretParams() if not _on_tpu() else False,
         )(jnp.asarray(seed, jnp.int32).reshape(1), ysb, usb, L1, mu1,
-          L2inv, mu2, L0, mu0, x0p, ab, *consts)
+          L2inv, mu2, L0, mu0, x0p, ab, w0p, *consts)
     ll, nresamp = outs[0], outs[1]
+    if want_final:
+        from .resample_route import _from_planes
+
+        xfin_p, wfin_p = outs[-2], outs[-1]
+        x_fin = jnp.stack(
+            [_from_planes(xfin_p[d], N) for d in range(nx)], axis=-1)
+        w_fin = _from_planes(wfin_p, N)
+        return ll[0, 0], x_fin, w_fin
     if want_means:
         mom = outs[2].transpose(1, 0, 2).reshape(nmom, Tpad).T[:T]
         means = mom[:, :nx]
@@ -471,17 +563,29 @@ def _pf_kernel_run(pf, u, y, seed, x0, _debug_no_resample,
 
 
 def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
-               mu2_ref, L0_ref, mu0_ref, x0_ref, ab_ref, *rest, T, TB, LB, N, NL,
+               mu2_ref, L0_ref, mu0_ref, x0_ref, ab_ref, w0_ref, *rest,
+               T, TB, LB, N, NL,
                NB, nx, ny, nu, Ts, thresh, nf, ng, nw, f_flat, g_flat,
                w_flat, gauss_meas, use_prng, has_x0, no_resample=False,
-               dbg="", affine=False, want_means=False, want_cov=False):
+               dbg="", affine=False, want_means=False, want_cov=False,
+               has_w0=False, want_final=False):
     nmom = nx + (nx * (nx + 1)) // 2 if want_cov else nx
     const_refs = rest[:nf + ng + nw]
+    o = rest[nf + ng + nw:]
+    i = 0
+    ll_ref, nres_ref = o[0], o[1]
+    i = 2
+    mout_ref = None
     if want_means:
-        (ll_ref, nres_ref, mout_ref, xpl_ref, w_ref, acc_ref,
-         macc_ref) = rest[nf + ng + nw:]
-    else:
-        ll_ref, nres_ref, xpl_ref, w_ref, acc_ref = rest[nf + ng + nw:]
+        mout_ref = o[i]
+        i += 1
+    if want_final:
+        xfin_ref, wfin_ref = o[i], o[i + 1]
+        i += 2
+    xpl_ref, w_ref, acc_ref = o[i], o[i + 1], o[i + 2]
+    i += 3
+    if want_means:
+        macc_ref = o[i]
     fcs = [c[:] for c in const_refs[:nf]]
     gcs = [c[:] for c in const_refs[nf:nf + ng]]
     wcs = [c[:] for c in const_refs[nf + ng:]]
@@ -542,7 +646,12 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
             for e in range(nx):
                 acc = acc + L0[d, e] * zs[e]
             xpl_ref[d] = acc
-    w_ref[...] = jnp.where(pad, _NEG, -logN)
+    if has_w0:
+        # segment mode: resume from carried log-weights (sharded
+        # composition — see pf_segment_fused)
+        w_ref[...] = jnp.where(pad, _NEG, w0_ref[...])
+    else:
+        w_ref[...] = jnp.where(pad, _NEG, -logN)
     acc_ref[0] = 0.0   # ll
     acc_ref[1] = 0.0   # n_resamples
 
@@ -642,7 +751,10 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
         weu = jnp.where(pad, 0.0, jnp.exp(w1 - m))
         ssum = jnp.sum(weu)
         ll_t = jnp.where(missing, 0.0, m + jnp.log(ssum))
-        w2 = w1 - (m + jnp.log(ssum))
+        # subtract exactly the ll contribution: in segment mode (has_w0)
+        # the carried unnormalized weights must stay recoverable as
+        # w_fin + ll_acc even when a missing step opens the segment
+        w2 = w1 - ll_t
         we = weu / ssum
 
         # ---- Neff trigger + systematic resample (resample.jl:5-36) --
@@ -745,5 +857,9 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
         return out
 
     jax.lax.fori_loop(0, TB, block, jnp.int32(0))
+    if want_final:
+        for d in range(nx):
+            xfin_ref[d] = xpl_ref[d]
+        wfin_ref[...] = w_ref[...]
     ll_ref[0, 0] = acc_ref[0]
     nres_ref[0, 0] = acc_ref[1]

@@ -183,15 +183,15 @@ def ukf_loglik_fused(ukf, ys, us: Optional[jax.Array] = None,
     mm = ukf.measurement_model
     if not _supported(ukf, mm) or (not _on_tpu() and not force_kernel):
         if _want_traj:
-            return forward_trajectory(ukf, us, ys)
-        return xla_loglik(ukf, us, ys)
+            return forward_trajectory(ukf, us, ys, method="sequential")
+        return xla_loglik(ukf, us, ys, method="sequential")
 
     ys = jnp.asarray(ys, jnp.float32)
     T, ny = ys.shape
     nx = ukf.nx
     if _want_traj and -(-T // 128) * _n_meta(nx, ny) * 128 * 4 > (64 << 20):
         # solution planes would exceed the VMEM output budget
-        return forward_trajectory(ukf, us, ys)
+        return forward_trajectory(ukf, us, ys, method="sequential")
 
     # custom_jvp routing (adroute.py): under jax.grad the fused kernel is
     # swapped for the exactly-equivalent XLA scan, with closure-captured
@@ -201,8 +201,8 @@ def ukf_loglik_fused(ukf, ys, us: Optional[jax.Array] = None,
 
     def _xla(y_, u_):
         if _want_traj:
-            return forward_trajectory(ukf, u_, y_)
-        return xla_loglik(ukf, u_, y_)
+            return forward_trajectory(ukf, u_, y_, method="sequential")
+        return xla_loglik(ukf, u_, y_, method="sequential")
 
     if us is None:
         return route_ad(
@@ -464,22 +464,22 @@ def ekf_loglik_fused(ekf, ys, us: Optional[jax.Array] = None,
     mm = ekf.measurement_model
     if not _ekf_supported(ekf, mm) or (not _on_tpu() and not force_kernel):
         if _want_traj:
-            return forward_trajectory(ekf, us, ys)
-        return xla_loglik(ekf, us, ys)
+            return forward_trajectory(ekf, us, ys, method="sequential")
+        return xla_loglik(ekf, us, ys, method="sequential")
 
     ys = jnp.asarray(ys, jnp.float32)
     T, ny = ys.shape
     nx = ekf.nx
     if _want_traj and -(-T // 128) * _n_meta(nx, ny) * 128 * 4 > (64 << 20):
-        return forward_trajectory(ekf, us, ys)
+        return forward_trajectory(ekf, us, ys, method="sequential")
 
     # custom_jvp routing — see ukf_loglik_fused above / adroute.py
     from .adroute import route_ad
 
     def _xla(y_, u_):
         if _want_traj:
-            return forward_trajectory(ekf, u_, y_)
-        return xla_loglik(ekf, u_, y_)
+            return forward_trajectory(ekf, u_, y_, method="sequential")
+        return xla_loglik(ekf, u_, y_, method="sequential")
 
     if us is None:
         return route_ad(

@@ -151,8 +151,10 @@ def route_pf_loglik(pf, u, y, p, key, state0, method: str):
     ):
         _record("loglik", "xla_scan")
         return None
-    _record("loglik", "pallas_fused_scan")
     ll, _ = pf_loglik_fused(pf, u, y, seed_from_key(key))
+    # recorded AFTER the call: off-TPU the fused entry falls back through
+    # the sequential verb, whose inner record must not win
+    _record("loglik", "pallas_fused_scan")
     return ll
 
 
@@ -162,9 +164,8 @@ def route_kalman_loglik(f, u, y, p, method: str, kwargs: dict):
     sequential scan."""
     _check_method(method)
     if kwargs or method == "sequential":
-        if method != "auto" or kwargs:
-            _record("loglik", "xla_scan")
-            return None
+        _record("loglik", "xla_scan")
+        return None
     from .filters.ekf import ExtendedKalmanFilter
     from .filters.ukf import UnscentedKalmanFilter
 
@@ -178,8 +179,9 @@ def route_kalman_loglik(f, u, y, p, method: str, kwargs: dict):
             _record("loglik", "temporal_parallel")
             return parallel_forward_trajectory(f, u, y, p).ll
         if _want_fused(method) and f._fused_delegate() is not None:
+            ll = f.loglik_fused(y, u)
             _record("loglik", "pallas_fused_scan")
-            return f.loglik_fused(y, u)
+            return ll
         _record("loglik", "xla_scan")
         return None
     if p is None and _want_fused(method):
@@ -187,14 +189,16 @@ def route_kalman_loglik(f, u, y, p, method: str, kwargs: dict):
             from .ops.pallas.ukf_scan import _supported, ukf_loglik_fused
 
             if _supported(f, f.measurement_model):
+                ll = ukf_loglik_fused(f, jnp.asarray(y), u)
                 _record("loglik", "pallas_fused_scan")
-                return ukf_loglik_fused(f, jnp.asarray(y), u)
+                return ll
         elif type(f) is ExtendedKalmanFilter:
             from .ops.pallas.ukf_scan import _ekf_supported, ekf_loglik_fused
 
             if _ekf_supported(f, f.measurement_model):
+                ll = ekf_loglik_fused(f, jnp.asarray(y), u)
                 _record("loglik", "pallas_fused_scan")
-                return ekf_loglik_fused(f, jnp.asarray(y), u)
+                return ll
     _record("loglik", "xla_scan")
     return None
 
@@ -228,8 +232,9 @@ def route_forward_trajectory(f, u, y, p, method: str, has_callbacks: bool,
             _record("forward_trajectory", "temporal_parallel")
             return parallel_forward_trajectory(f, u, y, p)
         if _want_fused(method) and f._fused_delegate() is not None:
+            sol = f.forward_trajectory_fused(u, y)
             _record("forward_trajectory", "pallas_fused_scan")
-            return f.forward_trajectory_fused(u, y)
+            return sol
         _record("forward_trajectory", "xla_scan")
         return None
     if p is None and _want_fused(method):
@@ -238,15 +243,17 @@ def route_forward_trajectory(f, u, y, p, method: str, has_callbacks: bool,
                 _supported, ukf_forward_trajectory_fused)
 
             if _supported(f, f.measurement_model):
+                sol = ukf_forward_trajectory_fused(f, u, jnp.asarray(y))
                 _record("forward_trajectory", "pallas_fused_scan")
-                return ukf_forward_trajectory_fused(f, u, jnp.asarray(y))
+                return sol
         elif type(f) is ExtendedKalmanFilter:
             from .ops.pallas.ukf_scan import (
                 _ekf_supported, ekf_forward_trajectory_fused)
 
             if _ekf_supported(f, f.measurement_model):
+                sol = ekf_forward_trajectory_fused(f, u, jnp.asarray(y))
                 _record("forward_trajectory", "pallas_fused_scan")
-                return ekf_forward_trajectory_fused(f, u, jnp.asarray(y))
+                return sol
     _record("forward_trajectory", "xla_scan")
     return None
 
@@ -311,6 +318,6 @@ def route_pf_mean_trajectory(pf, u, y, p, key, method: str):
     ) or not pf_scan_supported(pf):
         _record("mean_trajectory", "xla_scan")
         return None
-    _record("mean_trajectory", "pallas_fused_scan")
     means, _, _ = pf_mean_fused(pf, u, y, seed_from_key(key))
+    _record("mean_trajectory", "pallas_fused_scan")
     return means

@@ -18,11 +18,27 @@ from .trajectory import forward_trajectory
 from .utils.solutions import KalmanFilteringSolution, KalmanSmoothingSolution
 
 
-def smooth(f, u, y, p=None, M: int | None = None, key=None, **kwargs):
+def smooth(f, u, y, p=None, M: int | None = None, key=None,
+           method: str = "auto", **kwargs):
     """RTS smoothing for Kalman-type filters; FFBS for particle filters
     (smoothing.jl:10-33, 104-143).
+
+    ``method="auto"`` routes long KF/UKF/EKF trajectories on TPU to the
+    O(log T) temporal-parallel smoothers (parallel/temporal.py — exact in
+    one pass on linear/affine models, iterated SLR otherwise);
+    ``"sequential"`` forces the classic backward scan.
     """
+    if M is None and key is None:
+        from .routing import route_smooth
+
+        routed = route_smooth(f, u, y, p, method, kwargs)
+        if routed is not None:
+            return routed
     if hasattr(f, "smooth"):
+        if M is not None:
+            kwargs["M"] = M
+        if key is not None:
+            kwargs["key"] = key
         return f.smooth(u, y, p, **kwargs)
     if M is not None or key is not None:
         raise TypeError("particle smoothing requires a particle filter")

@@ -56,6 +56,7 @@ def forward_trajectory(
     post_correct_cb: Optional[Callable] = None,
     pre_predict_cb: Optional[Callable] = None,
     post_predict_cb: Optional[Callable] = None,
+    method: str = "auto",
     **kwargs,
 ):
     """Run a filter over stacked inputs ``u[T, nu]`` / measurements ``y[T, ny]``.
@@ -63,7 +64,23 @@ def forward_trajectory(
     Dispatches on filter family: Kalman-type filters return a
     :class:`KalmanFilteringSolution`, particle filters a
     :class:`ParticleFilteringSolution` (via their own implementation).
+
+    ``method="auto"`` routes plain-KF/UKF/EKF calls (without per-step
+    callbacks) to the fastest supported execution on TPU — the
+    temporal-parallel plane pipeline for long linear trajectories or the
+    fused whole-scan solution kernels (routing.py); ``"sequential"``
+    forces the `lax.scan` recursion.
     """
+    if not hasattr(f, "forward_trajectory"):
+        from .routing import route_forward_trajectory
+
+        has_cb = any(cb is not None for cb in (
+            pre_correct_cb, post_correct_cb, pre_predict_cb,
+            post_predict_cb))
+        routed = route_forward_trajectory(f, u, y, p, method, has_cb,
+                                          kwargs)
+        if routed is not None:
+            return routed
     if hasattr(f, "forward_trajectory"):
         return f.forward_trajectory(
             u,
@@ -161,10 +178,30 @@ def kalman_forward_trajectory(
 # ---------------------------------------------------------------------------
 
 
-def loglik(f, u, y, p=None, unroll: int = 1, **kwargs):
-    """Total log-likelihood of the data (smoothing.jl:227-236)."""
+def loglik(f, u, y, p=None, unroll: int = 1, method: str = "auto", **kwargs):
+    """Total log-likelihood of the data (smoothing.jl:227-236).
+
+    ``method="auto"`` routes to the fastest supported execution on TPU
+    (routing.py): the fused whole-scan Mosaic kernels for supported
+    PF/KF/UKF/EKF configurations, the temporal-parallel plane pipeline
+    for long linear-KF trajectories; the XLA scan otherwise and under
+    ``method="sequential"``.  Every route differentiates (the kernels
+    carry custom_jvps that fall back to the XLA scan under jax.grad).
+    """
     if hasattr(f, "loglik"):
+        from .filters.particle import _ParticleCommon
+
+        if isinstance(f, _ParticleCommon):
+            return f.loglik(u, y, p, method=method, **kwargs)
+        from .routing import _record
+
+        _record("loglik", "xla_scan")
         return f.loglik(u, y, p, **kwargs)
+    from .routing import route_kalman_loglik
+
+    routed = route_kalman_loglik(f, u, y, p, method, kwargs)
+    if routed is not None:
+        return routed
     y = jnp.asarray(y)
     T = y.shape[0]
     u_seq = _as_u_seq(u, T, y.dtype)
@@ -349,9 +386,29 @@ def weighted_quantile(x: jax.Array, we: jax.Array, q) -> jax.Array:
     return jnp.take_along_axis(xs, idx[..., None, :], axis=-2)[..., 0, :]
 
 
-def mean_trajectory(x: jax.Array, we: jax.Array) -> jax.Array:
-    """Weighted mean along a particle trajectory ([T, N, nx] → [T, nx]),
-    cf. filtering.jl:393-440."""
+def mean_trajectory(x, we=None, y=None, *, p=None, key=None,
+                    method: str = "auto") -> jax.Array:
+    """Weighted mean along a particle trajectory (filtering.jl:393-440).
+
+    Two forms, like the reference:
+
+    - array form ``mean_trajectory(x [T, N, nx], we [T, N])`` — reduce a
+      stored particle solution;
+    - filter form ``mean_trajectory(pf, u, y, key=...)`` — run the filter
+      and return the [T, nx] filtered means.  On TPU a supported
+      bootstrap PF runs the fused whole-scan kernel (``pf_mean_fused``:
+      the cloud never leaves VMEM, only the [T, nx] means are written);
+      otherwise ``forward_trajectory`` + weighted mean.
+    """
+    if hasattr(x, "forward_trajectory"):
+        f, u = x, we
+        from .routing import route_pf_mean_trajectory
+
+        routed = route_pf_mean_trajectory(f, u, y, p, key, method)
+        if routed is not None:
+            return routed
+        sol = f.forward_trajectory(u, y, p, key=key)
+        return weighted_mean(sol.x, sol.we)
     return weighted_mean(x, we)
 
 
