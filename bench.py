@@ -185,6 +185,76 @@ def certify_kernels():
     return checks
 
 
+# v5e VPU: one (8, 128) vreg per ALU per cycle, 4 ALUs, 1.5 GHz (clock
+# from 197e12 bf16 / (4 MXU · 128·128 · 2)).  The fused whole-scan
+# kernels are VPU loops, so their roofline is ISSUE-bound, not MXU/HBM:
+# bound = (vreg-ops per step) / (4 · 1.5e9).  Transcendentals (exp, log,
+# sqrt, sin, cos) run on the slow path — weighted ×8 vreg-ops.
+VPU_ALUS = 4
+VPU_CLOCK = 1.5e9
+TRANSC_W = 8
+
+
+def _pf_scan_plane_passes(nx, ny):
+    """Analytic per-step [8, NL]-plane passes of the fused PF kernel's
+    AFFINE+Gaussian path (ops/pallas/pf_scan.py step_in_block), counting
+    each full-plane arithmetic op as one pass; resample passes excluded
+    (amortized by the Neff firing rate, reported separately)."""
+    weight = ny * 2 * nx + ny * (ny + 1) + 2 * ny   # yhp + whitened quad
+    w_update = 3                                     # w1 add/where/pad
+    norm = 4 + TRANSC_W + 2                          # max,sub,sum,div + exp
+    neff = 2                                         # we*we + reduce
+    noise = nx * (2 + TRANSC_W * 2)                  # bits→u + log/sqrt/trig
+    predict = nx * (1 + 2 * nx + 2 * nx)             # c + Mx + L1z fmas
+    return weight + w_update + norm + neff + noise + predict
+
+
+def _pf_scan_bound_us(N, nx, ny):
+    NL = 128 * (-(-N // 1024))
+    vregs = (8 * NL) // 1024
+    passes = _pf_scan_plane_passes(nx, ny)
+    return passes * vregs / (VPU_ALUS * VPU_CLOCK) * 1e6
+
+
+def _assoc_combine_ops(nx):
+    """Exact vreg-op count of one plane-form filter combine, by tracing
+    its jaxpr (the combine runs on full (8, L) planes in the kernel —
+    every eqn is one vreg-op per plane)."""
+    from lowlevelparticlefilters_jl_tpu.parallel.temporal import (
+        _filter_combine_soa)
+
+    leaf = jnp.zeros((1,), jnp.float32)
+    mat = tuple(tuple(leaf for _ in range(nx)) for _ in range(nx))
+    vec = tuple(leaf for _ in range(nx))
+    e = (mat, vec, mat, vec, mat)
+    jaxpr = jax.make_jaxpr(_filter_combine_soa)(e, e)
+    return len(jaxpr.jaxpr.eqns)
+
+
+def _assoc_scan_bound_ns(nx, L=512):
+    """Per-element issue bound of the fused assoc-scan kernel: each
+    8L-element block runs ~(log2 L + 3 sublane + 2 full) combines, each
+    combine = K vreg-ops on (8, L) planes = K·(8L/1024) vregs."""
+    import math
+
+    K = _assoc_combine_ops(nx)
+    combines = math.log2(L) + 2          # sublane sweeps are [8,1] — free
+    # block: combines · K plane-ops · (8L/1024) vregs, over 8L elements
+    cycles_per_elem = K * combines / 1024
+    return cycles_per_elem / (VPU_ALUS * VPU_CLOCK) * 1e9
+
+
+def _ukf_step_ops(ukf, ys):
+    """Proxy op count for one sequential UKF step: eqns of the XLA-step
+    jaxpr (every op in the fused kernel is a single small vreg-op).  The
+    step is a dependency CHAIN, so the bound uses 1 ALU — the resulting
+    util measures how far per-op latency (not issue width) dominates."""
+    state0 = ukf.init()
+    jaxpr = jax.make_jaxpr(
+        lambda s, y: ukf.update(s, None, y, None, 0.0))(state0, ys[0])
+    return len(jaxpr.jaxpr.eqns)
+
+
 def _timeit(fn, *args, repeats=3):
     jax.block_until_ready(fn(*args))  # compile + warm cache
     ts = []
@@ -497,11 +567,67 @@ def bench_parallel_kf(T=100_000):
                            0.1 * jnp.eye(2, dtype=jnp.float32))
     us = 0.3 * jnp.ones((T, 1), jnp.float32)
     ys = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (T, 2), jnp.float32)
-    seq = jax.jit(lambda u, y: llpf.forward_trajectory(kf, u, y).ll)
+    seq = jax.jit(lambda u, y: llpf.forward_trajectory(
+        kf, u, y, method="sequential").ll)
     par = jax.jit(lambda u, y: llpf.parallel_forward_trajectory(kf, u, y).ll)
     dt_seq = _timeit(seq, us, ys)
     dt_par = _timeit(par, us, ys)
-    return dt_seq / dt_par, dt_seq, dt_par
+
+    # steady-state per-step cost of the parallel path (T-slope), for the
+    # assoc-scan issue-util roofline field
+    def make(Tn):
+        ysn = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (Tn, 2),
+                                      jnp.float32)
+        usn = 0.3 * jnp.ones((Tn, 1), jnp.float32)
+        return par, (usn, ysn), Tn
+
+    par_rate, _ = _tslope(make, T, 4 * T)
+    return dt_seq / dt_par, dt_seq, dt_par, par_rate
+
+
+def _roofline_fields(pff_rate, pkf_rate, ukf_fused_rate):
+    """Fused-kernel issue-bound rooflines (VERDICT r3 ask #6): analytic
+    per-step vreg-op models vs measured per-step cost.  The pf_scan and
+    assoc_scan bounds assume full 4-ALU issue; ukf_scan's step is one
+    long dependency chain, so its bound uses 1 ALU and the (low) util
+    says per-op LATENCY dominates — the documented sequential floor."""
+    out = {}
+    try:
+        bound = _pf_scan_bound_us(100_000, 2, 2)
+        step_us = 100_000 / pff_rate * 1e6
+        out["pf_scan_step_bound_us"] = round(bound, 3)
+        out["pf_scan_issue_util"] = round(bound / step_us, 3)
+    except Exception:
+        pass
+    try:
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.assoc_scan import (
+            _lane_width)
+
+        bound_ns = _assoc_scan_bound_ns(2, L=_lane_width(2))
+        step_ns = 1e9 / pkf_rate
+        out["assoc_scan_ns_per_step"] = round(step_ns, 2)
+        out["assoc_scan_step_bound_ns"] = round(bound_ns, 2)
+        out["assoc_scan_issue_util"] = round(bound_ns / step_ns, 3)
+    except Exception:
+        pass
+    try:
+        dt_s = 0.1
+        A = jnp.array(
+            [[1, 0, dt_s, 0], [0, 1, 0, dt_s], [0, 0, 1, 0], [0, 0, 0, 1]],
+            dtype=jnp.float32)
+        C = jnp.array([[1, 0, 0, 0], [0, 1, 0, 0]], dtype=jnp.float32)
+        ukf = llpf.make_ukf(lambda x, u, p, t: A @ x,
+                            lambda x, u, p, t: C @ x,
+                            0.1 * jnp.eye(4, dtype=jnp.float32),
+                            1.0 * jnp.eye(2, dtype=jnp.float32), ny=2, nu=0)
+        K = _ukf_step_ops(ukf, jnp.zeros((1, 2), jnp.float32))
+        bound_us = K / VPU_CLOCK * 1e6          # 1 ALU: dependency chain
+        step_us = 1e6 / ukf_fused_rate
+        out["ukf_scan_step_bound_us"] = round(bound_us, 3)
+        out["ukf_scan_issue_util"] = round(bound_us / step_us, 3)
+    except Exception:
+        pass
+    return out
 
 
 def main():
@@ -510,7 +636,11 @@ def main():
     pf_rate_full, pf_dt_full, pf_full_mfu = bench_pf(resample_threshold=1.0)
     kf_rate, kf_dt, kf_mfu, kf_ll_ok = bench_kf_bank(t2_factor=128)
     try:
-        kf8_rate, _, _, kf8_ll_ok = bench_kf_bank(Bk=8192, t2_factor=32)
+        # t2_factor=128: at Bk=8192 the 32x spread's marginal time
+        # (~31 ms) sits inside relay jitter and misreported 10-16 M
+        # passes/s run-to-run (the r3 README/BENCH 2x discrepancy);
+        # 128x is stable at ~8.2 M (measured 2026-08-18)
+        kf8_rate, _, _, kf8_ll_ok = bench_kf_bank(Bk=8192, t2_factor=128)
     except Exception:
         kf8_rate, kf8_ll_ok = float("nan"), False
     (ukf_rate, ukf_dt, ukf_bank_rate, ukf_fused_rate,
@@ -521,7 +651,7 @@ def main():
         ffbs_lg_rate, _, _ = bench_ffbs(N=65536, M=1000, T=24)
     except Exception:
         ffbs_lg_rate = float("nan")
-    pkf_speedup, pkf_seq, pkf_par = bench_parallel_kf()
+    pkf_speedup, pkf_seq, pkf_par, pkf_rate = bench_parallel_kf()
     try:
         pukf_rate, pukf_dt = bench_parallel_ukf()
     except Exception:
@@ -585,6 +715,10 @@ def main():
         "ffbs_mfu_vs_bf16peak": round(ffbs_mfu, 5),
         "pf_resample_every_step_mfu_vs_bf16peak": round(pf_full_mfu, 5),
         "kf_bank1024_mfu_vs_bf16peak": round(kf_mfu, 7),
+        # fused-kernel rooflines: VPU ISSUE bound (vreg-ops / 4 ALUs /
+        # 1.5 GHz; docs/benchmark.md) vs measured per-step cost — a
+        # kernel regression moves these ratios, not just raw rates
+        **_roofline_fields(pff_rate, pkf_rate, ukf_fused_rate),
         # ---- certs + headline: keep LAST (tail-capture survival) ----
         **{f"cert_{k}": v for k, v in cert.items()},
         "pf_path": "pallas_fused_scan" if use_fused else "xla_scan",
