@@ -333,6 +333,9 @@ def _pf_segment_xla(pf, u, y, seed, x0, w0):
     (x_fin, w_fin, ll), _ = jax.lax.scan(
         step, (x0, w0, jnp.float32(0.0)), (u_seq, y, tvec, keys))
     return ll, x_fin, w_fin
+
+
+def _pf_xla_path(pf, u, y, seed, want_means, want_cov=False):
     """The XLA-scan equivalent of the fused kernel (same estimator, same
     return structure) — the off-TPU fallback AND the autodiff route."""
     key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
