@@ -283,10 +283,14 @@ def _tslope(make, T1, T2):
     return (w2 - w1) / max(dt2 - dt1, 1e-3), dt1
 
 
-def bench_pf(N=100_000, T=1_000, resample_threshold=0.1):
-    """Bootstrap-PF throughput.  ``resample_threshold=0.1`` matches the
-    reference's constructor default (PFtypes.jl resample_threshold=0.1) and
-    hence its published benchmark; 1.0 forces resampling every step."""
+def bench_pf(N=100_000, T=1_000, resample_threshold=0.1, method="auto"):
+    """Bootstrap-PF throughput through the PLAIN VERB ``pf.loglik``.
+    ``method="auto"`` measures what a migrating user gets (on TPU the
+    routing layer dispatches to the fused whole-scan kernel — the
+    VERDICT r3 ask #2 criterion); ``method="sequential"`` pins the XLA
+    scan for the historical pf_xla field.  ``resample_threshold=0.1``
+    matches the reference's constructor default (PFtypes.jl) and hence
+    its published benchmark; 1.0 forces resampling every step."""
     A = jnp.array([[0.97043, -0.097368], [0.097368, 0.970437]], dtype=jnp.float32)
     B = jnp.array([[0.1], [0.0]], dtype=jnp.float32)
     C = jnp.eye(2, dtype=jnp.float32)
@@ -308,7 +312,8 @@ def bench_pf(N=100_000, T=1_000, resample_threshold=0.1):
     # threefry for the per-step process noise (same PF API, same stats).
     def make(Tn):
         _, us, ys = llpf.simulate(kf, 0.3 * jnp.ones((Tn, 1), jnp.float32), key)
-        run = jax.jit(lambda u, y, k: pf.loglik(u, y, key=k))
+        run = jax.jit(lambda u, y, k: pf.loglik(u, y, key=k,
+                                                method=method))
         return run, (us, ys, jax.random.key(1, impl="rbg")), N * Tn
 
     rate, dt = _tslope(make, T, 4 * T)
@@ -386,8 +391,14 @@ def bench_ukf(T=50_000):
     key = jax.random.PRNGKey(0)
     ys = jax.random.normal(key, (T, 2), dtype=jnp.float32)
 
-    run = jax.jit(lambda ys: llpf.loglik(ukf, None, ys))
+    run = jax.jit(lambda ys: llpf.loglik(ukf, None, ys,
+                                         method="sequential"))
     dt = _timeit(run, ys)
+
+    # the plain verb (auto-routed: affine-detected -> EKF whole-scan
+    # kernel on TPU) — what a migrating user gets
+    runr = jax.jit(lambda ys: llpf.loglik(ukf, None, ys))
+    dtr = _timeit(runr, ys)
 
     # whole-scan pallas kernel (ops/pallas/ukf_scan.py)
     runf = jax.jit(lambda ys: llpf.ukf_loglik_fused(ukf, ys))
@@ -419,7 +430,7 @@ def bench_ukf(T=50_000):
         bank_aff_rate, _ = _tslope(make_aff, 200, 6400)
     except Exception:
         bank_aff_rate = float("nan")
-    return T / dt, dt, bank_rate, T / dtf, bank_aff_rate
+    return T / dt, dt, bank_rate, T / dtf, bank_aff_rate, T / dtr
 
 
 def bench_ffbs(N=1000, M=1000, T=500):
@@ -499,6 +510,44 @@ def bench_pf_fused(N=100_000, T=512, T2=4096, resample_threshold=0.1):
     return rate, d1, ll_ok
 
 
+def bench_pf_fused_nonlinear(N=100_000, T=512, T2=4096,
+                             resample_threshold=0.1):
+    """Generic (dot-free nonlinear) callbacks through the fused kernel's
+    double-vmapped elementwise plane path — the per-step cost a user
+    with a genuinely nonlinear model sees (the headline benchmark model
+    is affine-detected and takes the scalar-plane fast path instead)."""
+    R1 = 0.01 * jnp.eye(2, dtype=jnp.float32)
+    R2 = 0.1 * jnp.eye(2, dtype=jnp.float32)
+    from lowlevelparticlefilters_jl_tpu.ops.pallas.pf_scan import (
+        pf_loglik_fused)
+
+    pf = llpf.ParticleFilter(
+        N=N,
+        dynamics=lambda x, u, p, t: 0.9 * jnp.sin(x) + 0.1 * u[0],
+        measurement=lambda x, u, p, t: jnp.tanh(x),
+        dynamics_density=R1,
+        measurement_density=R2,
+        initial_density=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)),
+        resample_threshold=resample_threshold,
+    )
+
+    def make(Tn):
+        ys = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (Tn, 2),
+                                     jnp.float32)
+        us = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (Tn, 1),
+                                     jnp.float32)
+        run = jax.jit(lambda u, y, s: pf_loglik_fused(pf, u, y, s)[0])
+        return run, us, ys
+
+    run1, us1, ys1 = make(T)
+    ll = float(jax.device_get(run1(us1, ys1, 1)))
+    d1 = _timeit(run1, us1, ys1, 1)
+    run2, us2, ys2 = make(T2)
+    d2 = _timeit(run2, us2, ys2, 2)
+    rate = (T2 - T) * N / max(d2 - d1, 1e-9)
+    return rate, d1, bool(np.isfinite(ll))
+
+
 def bench_parallel_ukf(T=50_000, iters=2):
     """O(log T) iterated sigma-point smoother on the 4-state CV model —
     the single-stream UKF workload (docs/src/benchmark.md:158) answered
@@ -553,7 +602,8 @@ def bench_parallel_ukf_nonlinear(T=50_000, iters=4):
             ukf, None, y, iters=iters).xT.sum())
         return run, (ys,), Tn
 
-    rate, dt = _tslope(make, T, 4 * T)
+    # 8x spread: ~44 ns/step needs >10 ms marginal to clear relay jitter
+    rate, dt = _tslope(make, T, 8 * T)
     return rate, dt
 
 
@@ -581,7 +631,9 @@ def bench_parallel_kf(T=100_000):
         usn = 0.3 * jnp.ones((Tn, 1), jnp.float32)
         return par, (usn, ysn), Tn
 
-    par_rate, _ = _tslope(make, T, 4 * T)
+    # 32x spread: at ~2 ns/step the marginal time must clear the ~1 ms
+    # relay jitter floor (4x left only 0.6 ms and reported 5x slow)
+    par_rate, _ = _tslope(make, T, 32 * T)
     return dt_seq / dt_par, dt_seq, dt_par, par_rate
 
 
@@ -632,7 +684,8 @@ def _roofline_fields(pff_rate, pkf_rate, ukf_fused_rate):
 
 def main():
     cert = certify_kernels()
-    pf_rate, pf_dt, pf_mfu = bench_pf()
+    pf_routed_rate, pf_dt, _ = bench_pf()               # plain verb, auto
+    pf_rate, _, pf_mfu = bench_pf(method="sequential")  # true XLA scan
     pf_rate_full, pf_dt_full, pf_full_mfu = bench_pf(resample_threshold=1.0)
     kf_rate, kf_dt, kf_mfu, kf_ll_ok = bench_kf_bank(t2_factor=128)
     try:
@@ -644,7 +697,7 @@ def main():
     except Exception:
         kf8_rate, kf8_ll_ok = float("nan"), False
     (ukf_rate, ukf_dt, ukf_bank_rate, ukf_fused_rate,
-     ukf_bank_aff_rate) = bench_ukf()
+     ukf_bank_aff_rate, ukf_routed_rate) = bench_ukf()
     ffbs_rate, ffbs_dt, ffbs_mfu = bench_ffbs()
     try:
         # N-chunked kernel regime (VERDICT r2 #2): M=1000, N=65536
@@ -666,12 +719,16 @@ def main():
     except Exception:
         pff_rate = pff_full_rate = float("nan")
         pff_ok = pff_full_ok = False
+    try:
+        pff_nl_rate, _, pff_nl_ok = bench_pf_fused_nonlinear()
+    except Exception:
+        pff_nl_rate, pff_nl_ok = float("nan"), False
 
     # headline = the library's fastest supported execution of the
     # reference benchmark workload: the fused whole-scan kernel when it
     # is available AND its ll certified against the KF; else the XLA scan
     use_fused = pff_ok and pff_rate == pff_rate and pff_rate > pf_rate
-    head_rate = pff_rate if use_fused else pf_rate
+    head_rate = max(pff_rate, pf_routed_rate) if use_fused else pf_rate
     head_full = (pff_full_rate
                  if (pff_full_ok and pff_full_rate == pff_full_rate
                      and pff_full_rate > pf_rate_full) else pf_rate_full)
@@ -684,6 +741,7 @@ def main():
         "device": jax.devices()[0].device_kind,
         "method": "T-slope",  # see docs/benchmark.md (relay adds ~27ms RPC)
         "pf_xla_steps_per_s": round(pf_rate, 1),
+        "pf_routed_verb_steps_per_s": round(pf_routed_rate, 1),
         "pf_resample_every_step_steps_per_s": round(pf_rate_full, 1),
         "pf_resample_every_step_vs_baseline": round(
             pf_rate_full / BASELINE_PF_PARTICLE_STEPS_PER_S, 2),
@@ -692,6 +750,7 @@ def main():
         "kf_bank8192_passes_per_s": round(kf8_rate, 1),
         "kf_bank8192_ll_matches_vmap": bool(kf8_ll_ok),
         "ukf_steps_per_s_T50k": round(ukf_rate, 1),
+        "ukf_routed_verb_steps_per_s_T50k": round(ukf_routed_rate, 1),
         "ukf_fused_kernel_steps_per_s_T50k": round(ukf_fused_rate, 1),
         "ukf_fused_vs_julia_baseline": round(
             ukf_fused_rate / BASELINE_UKF_STEPS_PER_S, 3),
@@ -701,6 +760,10 @@ def main():
             ukf_bank_aff_rate / BASELINE_UKF_STEPS_PER_S, 1),
         "ffbs_weight_evals_per_s_MN1000_T500": round(ffbs_rate, 1),
         "ffbs_weight_evals_per_s_M1000_N65536": round(ffbs_lg_rate, 1),
+        "pf_fused_nonlinear_steps_per_s": round(pff_nl_rate, 1),
+        "pf_fused_nonlinear_vs_baseline": round(
+            pff_nl_rate / BASELINE_PF_PARTICLE_STEPS_PER_S, 2),
+        "pf_fused_nonlinear_ll_finite": bool(pff_nl_ok),
         "parallel_kf_speedup_T1e5": round(pkf_speedup, 2),
         "parallel_ukf_equiv_steps_per_s_T50k": round(pukf_rate, 1),
         "parallel_ukf_vs_julia_baseline": round(

@@ -88,7 +88,8 @@ def _flatten(fn, nx, nu, p):
                                      *cs[n_lit:])
         return out
 
-    return flat, consts, _jaxpr_affine_in_x(closed.jaxpr)
+    return (flat, consts, _jaxpr_affine_in_x(closed.jaxpr),
+            _jaxpr_elementwise_ok(closed.jaxpr))
 
 
 # Primitives through which x-dependence may flow while preserving
@@ -141,6 +142,35 @@ def _jaxpr_affine_in_x(jaxpr) -> bool:
     return True
 
 
+# Primitives whose vmap batching rules stay rank-preserving/elementwise —
+# safe to evaluate double-vmapped over BOTH plane axes ([nx, 8, NL]) in one
+# Mosaic dispatch.  The bisected Mosaic crash behind the per-sublane-row
+# dispatch (see the step_in_block comment) is specific to rank-3 batched
+# dot_general; elementwise math, leading-axis shape ops and leading-axis
+# reductions compile fine at every size.  Conservative: anything not
+# listed (dots, dynamic indexing, sub-jaxpr calls, sorts) falls back to
+# the row path.
+_EW_OK = frozenset([
+    "add", "sub", "neg", "add_any", "mul", "div", "rem", "pow",
+    "integer_pow", "sqrt", "rsqrt", "cbrt", "exp", "log", "expm1",
+    "log1p", "sin", "cos", "tan", "asin", "acos", "atan", "atan2",
+    "sinh", "cosh", "tanh", "logistic", "abs", "sign", "floor", "ceil",
+    "round", "max", "min", "clamp", "select_n", "eq", "ne", "lt", "le",
+    "gt", "ge", "and", "or", "xor", "not", "is_finite", "square",
+    "erf", "erfc", "broadcast_in_dim", "reshape", "transpose", "squeeze",
+    "slice", "concatenate", "convert_element_type", "expand_dims", "pad",
+    "rev", "copy", "reduce_sum", "reduce_max", "reduce_min", "reduce_prod",
+    "reduce_and", "reduce_or", "stop_gradient",
+])
+
+
+def _jaxpr_elementwise_ok(jaxpr) -> bool:
+    """Static check: every primitive in the callback jaxpr batches to
+    rank-preserving plane ops under a double vmap (no dot_general, no
+    dynamic indexing, no control flow)."""
+    return all(eqn.primitive.name in _EW_OK for eqn in jaxpr.eqns)
+
+
 def _meas_density_kernel_ok(d) -> bool:
     """Measurement densities the kernel can trace in-kernel beyond the
     Gaussian fast path: the scalar families of ops/distributions.py
@@ -187,7 +217,7 @@ def _flatten_density(d, ny):
                                      *cs[n_lit:])
         return out
 
-    return flat, consts
+    return flat, consts, _jaxpr_elementwise_ok(closed.jaxpr)
 
 
 def pf_scan_supported(pf) -> bool:
@@ -410,12 +440,13 @@ def _pf_kernel_run(pf, u, y, seed, x0, _debug_no_resample,
             L2, jnp.eye(ny, dtype=jnp.float32), lower=True)
         mu2 = jnp.asarray(pf.measurement_density.mean,
                           jnp.float32).reshape(1, ny)
-        w_flat, w_consts = None, []
+        w_flat, w_consts, w_ew = None, [], True
     else:
         # traced user density: weight = logpdf(y - yhat) per lane
         L2inv = jnp.eye(ny, dtype=jnp.float32)   # placeholder input
         mu2 = jnp.zeros((1, ny), jnp.float32)    # placeholder input
-        w_flat, w_consts = _flatten_density(pf.measurement_density, ny)
+        w_flat, w_consts, w_ew = _flatten_density(pf.measurement_density,
+                                                  ny)
     nw = len(w_consts)
     L0 = jnp.asarray(pf.initial_density.chol(), jnp.float32)
     mu0 = jnp.asarray(pf.initial_density.mean, jnp.float32).reshape(1, nx)
@@ -443,9 +474,15 @@ def _pf_kernel_run(pf, u, y, seed, x0, _debug_no_resample,
         usb = _blocked(us, nu) if nu > 0 else jnp.zeros((TB, 1, LB),
                                                         jnp.float32)
 
-    f_flat, f_consts, f_aff = _flatten(pf.dynamics, nx, nu, pf.p)
-    g_flat, g_consts, g_aff = _flatten(pf.measurement, nx, nu, pf.p)
+    f_flat, f_consts, f_aff, f_ew = _flatten(pf.dynamics, nx, nu, pf.p)
+    g_flat, g_consts, g_aff, g_ew = _flatten(pf.measurement, nx, nu, pf.p)
     nf, ng = len(f_consts), len(g_consts)
+    # Elementwise plane path: dot-free callbacks evaluate double-vmapped
+    # over BOTH plane axes in ONE dispatch ([nx, 8, NL] -> [k, 8, NL])
+    # instead of 8 per-sublane-row dispatches (the rank-3 Mosaic crash is
+    # specific to batched dots, which _jaxpr_elementwise_ok excludes).
+    ew = f_ew and g_ew and "norowv" not in dbg
+    w_ew = w_ew and "norowv" not in dbg
 
     # Affine fast path: when both callbacks are affine in x (static
     # jaxpr check), precompute the per-step matrices M_t/c_t (dynamics)
@@ -499,7 +536,7 @@ def _pf_kernel_run(pf, u, y, seed, x0, _debug_no_resample,
         use_prng=_on_tpu() and "noprng" not in dbg,
         has_x0=has_x0, no_resample=_debug_no_resample, dbg=dbg,
         affine=affine, want_means=want_means, want_cov=want_cov,
-        has_w0=has_w0, want_final=want_final)
+        has_w0=has_w0, want_final=want_final, ew=ew, w_ew=w_ew)
     nmom = nx + (nx * (nx + 1)) // 2 if want_cov else nx
     consts = [jnp.asarray(c) for c in [*f_consts, *g_consts, *w_consts]]
     out_shape = [
@@ -571,7 +608,7 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
                NB, nx, ny, nu, Ts, thresh, nf, ng, nw, f_flat, g_flat,
                w_flat, gauss_meas, use_prng, has_x0, no_resample=False,
                dbg="", affine=False, want_means=False, want_cov=False,
-               has_w0=False, want_final=False):
+               has_w0=False, want_final=False, ew=False, w_ew=False):
     nmom = nx + (nx * (nx + 1)) // 2 if want_cov else nx
     const_refs = rest[:nf + ng + nw]
     o = rest[nf + ng + nw:]
@@ -675,15 +712,20 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
         if use_prng:
             pltpu.prng_seed(seed_ref[0], t)
 
-        # User callbacks are vmapped over LANES only and looped over the
-        # 8 sublane rows: a double-vmap over both plane axes turns every
-        # dot in the callback jaxpr into a rank-3 batched dot_general,
-        # which CRASHES the Mosaic backend at NL >= 8192 (bisected on
-        # v5e); rank-2 [nx, NL] dots compile at every size.
+        # User callbacks with dots in their jaxpr are vmapped over LANES
+        # only and looped over the 8 sublane rows: a double-vmap over
+        # both plane axes turns every dot in the callback jaxpr into a
+        # rank-3 batched dot_general, which CRASHES the Mosaic backend at
+        # NL >= 8192 (bisected on v5e); rank-2 [nx, NL] dots compile at
+        # every size.  Dot-free (elementwise) callbacks take the `ew`
+        # plane path below: ONE double-vmapped dispatch on the full
+        # [nx, 8, NL] cloud.
         Fv = jax.vmap(lambda xi: f_flat(xi, uvec, tk, *fcs),
                       in_axes=1, out_axes=1)
         Gv = jax.vmap(lambda xi: g_flat(xi, uvec, tk, *gcs),
                       in_axes=1, out_axes=1)
+        Fv2 = jax.vmap(Fv, in_axes=1, out_axes=1)   # [nx,8,NL]->[nx,8,NL]
+        Gv2 = jax.vmap(Gv, in_axes=1, out_axes=1)   # [nx,8,NL]->[ny,8,NL]
 
         def _rows(fn, out_dim):
             """Apply a [nx, NL] -> [out_dim, NL] map per sublane row."""
@@ -698,6 +740,33 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
         # correct-then-predict order of filtering.jl:181-191) ----------
         Wv = (jax.vmap(lambda ev: w_flat(ev, *wcs), in_axes=1, out_axes=1)
               if not gauss_meas else None)
+        Wv2 = (jax.vmap(Wv, in_axes=1, out_axes=1)   # [ny,8,NL]->[1,8,NL]
+               if not gauss_meas else None)
+
+        def _logp_planes(yh_planes):
+            """logp [8, NL] from ŷ as ny full planes — Gaussian quad as
+            scalar-plane combos, or the traced density in ONE
+            double-vmapped dispatch (w_ew) / 8 row dispatches."""
+            if gauss_meas:
+                quad = jnp.zeros((8, NL), jnp.float32)
+                for d in range(ny):
+                    z = jnp.zeros((8, NL), jnp.float32)
+                    for e in range(d + 1):                   # L2i lower-tri
+                        z = z + L2i[d, e] * (
+                            (y2[0, e] - mu2[0, e]) - yh_planes[e])
+                    quad = quad + z * z
+                return cst - 0.5 * quad                      # [8, NL]
+            if w_ew:
+                e_all = jnp.stack(
+                    [y2[0, e] - yh_planes[e] for e in range(ny)])
+                return Wv2(e_all)[0]                         # [8, NL]
+            logp_rows = []
+            for srow in range(8):
+                e_row = jnp.concatenate(
+                    [y2[0, e] - yh_planes[e][srow:srow + 1, :]
+                     for e in range(ny)], 0)                 # [ny, NL]
+                logp_rows.append(Wv(e_row))                  # [1, NL]
+            return jnp.concatenate(logp_rows, axis=0)        # [8, NL]
         if affine:
             # y_hat[e] = sum_j H[e,j] x[j] + d[e] as scalar-x-plane
             # combos on the full [8, NL] planes — no row loop, no dots
@@ -707,24 +776,12 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
                 for j in range(nx):
                     acc = acc + Hv(e, j) * xpl_ref[j]
                 yhp.append(acc)
-            if gauss_meas:
-                quad = jnp.zeros((8, NL), jnp.float32)
-                for d in range(ny):
-                    z = jnp.zeros((8, NL), jnp.float32)
-                    for e in range(d + 1):                   # L2i lower-tri
-                        z = z + L2i[d, e] * (
-                            (y2[0, e] - mu2[0, e]) - yhp[e])
-                    quad = quad + z * z
-                logp = cst - 0.5 * quad                      # [8, NL]
-            else:
-                # traced user density per sublane row: logpdf(y - yhat)
-                logp_rows = []
-                for srow in range(8):
-                    e_row = jnp.concatenate(
-                        [y2[0, e] - yhp[e][srow:srow + 1, :]
-                         for e in range(ny)], 0)             # [ny, NL]
-                    logp_rows.append(Wv(e_row))              # [1, NL]
-                logp = jnp.concatenate(logp_rows, axis=0)    # [8, NL]
+            logp = _logp_planes(yhp)
+        elif ew and "nocall" not in dbg:
+            # elementwise plane path: ŷ for the whole cloud in ONE
+            # double-vmapped dispatch
+            yh_all = Gv2(xpl_ref[...])                       # [ny, 8, NL]
+            logp = _logp_planes([yh_all[e] for e in range(ny)])
         else:
             gfn = (lambda xm: xm[:ny]) if "nocall" in dbg else Gv
             logp_rows = []
@@ -826,6 +883,16 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
                         cv(d) + mu1[0, d])
                     for e in range(nx):
                         acc = acc + Mv(d, e) * olds[e] + L1[d, e] * zs[e]
+                    xpl_ref[d] = acc
+            elif ew and "nocall" not in dbg:
+                # elementwise plane path: propagate the whole cloud in
+                # ONE double-vmapped dispatch, then add noise as
+                # scalar-plane combos
+                xn = Fv2(xpl_ref[...])                       # [nx, 8, NL]
+                for d in range(nx):
+                    acc = xn[d] + mu1[0, d]
+                    for e in range(nx):
+                        acc = acc + L1[d, e] * zs[e]
                     xpl_ref[d] = acc
             else:
                 ffn = (lambda xm: xm) if "nocall" in dbg else Fv

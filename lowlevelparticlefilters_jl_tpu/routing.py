@@ -71,6 +71,24 @@ def _on_tpu() -> bool:
     return f()
 
 
+def _under_batch_trace(*vals) -> bool:
+    """True when an input is being traced by ``jax.vmap``.  The fused
+    whole-scan kernels batch as grid-sequential kernel INSTANCES — a
+    vmapped bank of 1024 trajectories would run 1024 sequential Mosaic
+    scans (measured 30x SLOWER than the vmapped XLA scan on v5e) — so
+    batch traces fall back to the sequential scan, which vmaps into the
+    bank-shaped XLA program users expect.  ``vmap(jit(loglik))`` is
+    invisible at this level (the inner jaxpr is traced unbatched); put
+    the vmap inside the jit, or use the bank APIs (`kf_bank_loglik`,
+    `ukf_bank_loglik`) which are faster than either."""
+    try:
+        from jax._src.interpreters.batching import BatchTracer
+    except Exception:  # pragma: no cover - fallback for older jax
+        from jax.interpreters.batching import BatchTracer
+
+    return any(isinstance(v, BatchTracer) for v in vals if v is not None)
+
+
 def seed_from_key(key) -> jax.Array:
     """Derive the fused PF kernel's int32 seed from a PRNG key (typed or
     raw uint32) — deterministic, full-entropy fold."""
@@ -138,7 +156,8 @@ def route_pf_loglik(pf, u, y, p, key, state0, method: str):
     """Fused whole-scan kernel for the bootstrap-PF log-likelihood.
     Returns None when the sequential scan should run."""
     _check_method(method)
-    if method in ("sequential", "parallel") or not _want_fused(method):
+    if method in ("sequential", "parallel") or not _want_fused(method) \
+            or _under_batch_trace(u, y, key):
         _record("loglik", "xla_scan")
         return None
     from .ops.pallas.pf_scan import pf_loglik_fused, pf_scan_supported
@@ -163,7 +182,7 @@ def route_kalman_loglik(f, u, y, p, method: str, kwargs: dict):
     trajectories, else the fused whole-scan kernel.  Returns None for the
     sequential scan."""
     _check_method(method)
-    if kwargs or method == "sequential":
+    if kwargs or method == "sequential" or _under_batch_trace(u, y):
         _record("loglik", "xla_scan")
         return None
     from .filters.ekf import ExtendedKalmanFilter
@@ -214,7 +233,8 @@ def route_forward_trajectory(f, u, y, p, method: str, has_callbacks: bool,
     trajectories (callable matrices admitted — flagged via sol.ok), else
     the fused whole-scan solution kernels.  None -> sequential scan."""
     _check_method(method)
-    if method == "sequential" or has_callbacks or kwargs.get("mm") is not None:
+    if method == "sequential" or has_callbacks \
+            or kwargs.get("mm") is not None or _under_batch_trace(u, y):
         _record("forward_trajectory", "xla_scan")
         return None
     from .filters.ekf import ExtendedKalmanFilter
@@ -269,7 +289,7 @@ def route_smooth(f, u, y, p, method: str, kwargs: dict):
     extended parallel smoothers (exact in one pass on affine models).
     None -> sequential backward scan."""
     _check_method(method)
-    if method == "sequential" or kwargs:
+    if method == "sequential" or kwargs or _under_batch_trace(u, y):
         _record("smooth", "xla_scan")
         return None
     from .filters.ekf import ExtendedKalmanFilter
@@ -308,7 +328,8 @@ def route_pf_mean_trajectory(pf, u, y, p, key, method: str):
     """Fused in-VMEM mean accumulation (pf_mean_fused) for supported
     bootstrap PFs; None -> run forward_trajectory + weighted mean."""
     _check_method(method)
-    if method in ("sequential", "parallel") or not _want_fused(method):
+    if method in ("sequential", "parallel") or not _want_fused(method) \
+            or _under_batch_trace(u, y, key):
         _record("mean_trajectory", "xla_scan")
         return None
     from .ops.pallas.pf_scan import pf_mean_fused, pf_scan_supported

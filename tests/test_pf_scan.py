@@ -114,18 +114,59 @@ def test_affine_detection():
     from lowlevelparticlefilters_jl_tpu.ops.pallas.pf_scan import _flatten
 
     aff = lambda x, u, p, t: A @ x + B @ u
-    _, _, ok = _flatten(aff, 2, 1, None)
+    _, _, ok, _ = _flatten(aff, 2, 1, None)
     assert ok
     nonlin = lambda x, u, p, t: jnp.sin(x) + B @ u
-    _, _, ok = _flatten(nonlin, 2, 1, None)
+    _, _, ok, _ = _flatten(nonlin, 2, 1, None)
     assert not ok
     quad = lambda x, u, p, t: x * x
-    _, _, ok = _flatten(quad, 2, 1, None)
+    _, _, ok, _ = _flatten(quad, 2, 1, None)
     assert not ok
     # affine-through-structure: broadcast/slice/concat preserve affinity
     struct = lambda x, u, p, t: jnp.concatenate([x[:1] - x[1:], 2.0 * x[:1]])
-    _, _, ok = _flatten(struct, 2, 1, None)
+    _, _, ok, _ = _flatten(struct, 2, 1, None)
     assert ok
+
+
+def test_elementwise_detection():
+    """The dot-free (elementwise) gate for the double-vmapped plane
+    path: nonlinear elementwise callbacks pass, dots fail closed."""
+    from lowlevelparticlefilters_jl_tpu.ops.pallas.pf_scan import _flatten
+
+    ew_fn = lambda x, u, p, t: jnp.sin(x) + jnp.sqrt(jnp.abs(x)) * u[0]
+    _, _, aff, ew = _flatten(ew_fn, 2, 1, None)
+    assert ew and not aff
+    dot_fn = lambda x, u, p, t: jnp.sin(A @ x) + B @ u
+    _, _, aff, ew = _flatten(dot_fn, 2, 1, None)
+    assert not ew and not aff
+
+
+def test_elementwise_and_row_paths_agree():
+    """A nonlinear dot-free model through the double-vmapped plane path
+    (default) and the per-sublane-row path (PF_SCAN_DEBUG=norowv must
+    also disable the plane path's density dispatch) must produce the
+    same deterministic interpret-mode log-likelihood."""
+    import os
+
+    pf = llpf.ParticleFilter(
+        N=N, dynamics=lambda x, u, p, t: 0.9 * jnp.sin(x) + 0.1 * u[0],
+        measurement=lambda x, u, p, t: jnp.tanh(x), dynamics_density=R1z,
+        measurement_density=R2,
+        initial_density=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)),
+        resample_threshold=0.0)
+    x0, _ = _shared_state()
+    us, ys = _data(17)
+    ll_p, _ = pf_loglik_fused(pf, us, ys, 0, x0=x0, force_kernel=True)
+    os.environ["PF_SCAN_DEBUG"] = "norowv"
+    try:
+        ll_r, _ = pf_loglik_fused(pf, us, ys, 0, x0=x0, force_kernel=True)
+    finally:
+        del os.environ["PF_SCAN_DEBUG"]
+    np.testing.assert_allclose(float(ll_p), float(ll_r), rtol=1e-5)
+    # and the XLA oracle agrees (zero noise, no resample, shared x0)
+    ll_xla = float(pf.loglik(us, ys, state0=_shared_state()[1],
+                             method="sequential"))
+    np.testing.assert_allclose(float(ll_p), ll_xla, rtol=1e-5)
 
 
 def test_affine_and_row_paths_agree():
