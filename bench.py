@@ -468,7 +468,8 @@ def bench_ffbs(N=1000, M=1000, T=500):
     return rate, dt, rate * 4 / PEAK_BF16_FLOPS
 
 
-def bench_pf_fused(N=100_000, T=512, T2=4096, resample_threshold=0.1):
+def bench_pf_fused(N=100_000, T=512, T2=4096, resample_threshold=0.1,
+                   no_resample=False):
     """Whole-scan fused PF kernel (ops/pallas/pf_scan.py): the entire
     bootstrap recursion resident in VMEM.  Also cross-checks the fused
     log-likelihood against the exact KF (statistical certification of
@@ -495,7 +496,8 @@ def bench_pf_fused(N=100_000, T=512, T2=4096, resample_threshold=0.1):
     def make(Tn):
         _, us, ys = llpf.simulate(kf, 0.3 * jnp.ones((Tn, 1), jnp.float32),
                                   jax.random.PRNGKey(0))
-        run = jax.jit(lambda u, y, s: pf_loglik_fused(pf, u, y, s)[0])
+        run = jax.jit(lambda u, y, s: pf_loglik_fused(
+            pf, u, y, s, _debug_no_resample=no_resample)[0])
         return run, us, ys
 
     run1, us1, ys1 = make(T)
@@ -723,6 +725,12 @@ def main():
         pff_nl_rate, _, pff_nl_ok = bench_pf_fused_nonlinear()
     except Exception:
         pff_nl_rate, pff_nl_ok = float("nan"), False
+    try:
+        # step-only rate: resampling disabled — the firing cost is the
+        # gap between this and the always-resample rate
+        pff_step_rate, _, _ = bench_pf_fused(no_resample=True)
+    except Exception:
+        pff_step_rate = float("nan")
 
     # headline = the library's fastest supported execution of the
     # reference benchmark workload: the fused whole-scan kernel when it
@@ -760,6 +768,9 @@ def main():
             ukf_bank_aff_rate / BASELINE_UKF_STEPS_PER_S, 1),
         "ffbs_weight_evals_per_s_MN1000_T500": round(ffbs_rate, 1),
         "ffbs_weight_evals_per_s_M1000_N65536": round(ffbs_lg_rate, 1),
+        "pf_fused_step_only_steps_per_s": round(pff_step_rate, 1),
+        "pf_resample_us_per_firing": round(
+            1e6 * 100_000 * (1.0 / pff_full_rate - 1.0 / pff_step_rate), 2),
         "pf_fused_nonlinear_steps_per_s": round(pff_nl_rate, 1),
         "pf_fused_nonlinear_vs_baseline": round(
             pff_nl_rate / BASELINE_PF_PARTICLE_STEPS_PER_S, 2),

@@ -38,6 +38,35 @@ def _on_tpu() -> bool:
         return False
 
 
+def _cos_sin_2pi(u):
+    """``(cos(2πu), sin(2πu))`` for u in [0, 1) — quadrant folding + the
+    cephes sinf/cosf minimax polynomials on [-π/4, π/4].
+
+    Mosaic lowers ``jnp.cos``/``jnp.sin`` to ~2.5 µs per [8, 12544]
+    plane EACH (measured on v5e — ~10× the cost of exp/log, ~25× an
+    add); this evaluates the pair in ~35 cheap VPU ops (~1 µs), with
+    max abs error ~1e-7 — far below anything Box-Muller Gaussian
+    quality can resolve (the moment certification in bench.py covers
+    it on hardware).  No range reduction beyond the quadrant fold is
+    needed because u is already one period."""
+    t = 4.0 * u                          # angle in quadrant units [0, 4)
+    q = jnp.floor(t + 0.5)               # nearest quadrant 0..4
+    r = (t - q) * 1.5707963267948966     # residual angle in [-π/4, π/4]
+    r2 = r * r
+    s = r * (1.0 + r2 * (-1.6666654611e-1 + r2 * (
+        8.3321608736e-3 + r2 * (-1.9515295891e-4))))
+    c = 1.0 + r2 * (-0.5 + r2 * (4.166664568298827e-2 + r2 * (
+        -1.388731625493765e-3 + r2 * 2.443315711809948e-5)))
+    qi = q.astype(jnp.int32) & 3
+    # rotate (c, s) by q·90°: q=0:(c,s) 1:(-s,c) 2:(-c,-s) 3:(s,-c)
+    swap = (qi & 1) == 1
+    cv = jnp.where(swap, s, c)
+    sv = jnp.where(swap, c, s)
+    cneg = (qi == 1) | (qi == 2)
+    sneg = qi >= 2
+    return jnp.where(cneg, -cv, cv), jnp.where(sneg, -sv, sv)
+
+
 def _normal_kernel(seed_ref, out_ref):
     pltpu.prng_seed(seed_ref[0])
     shape = out_ref.shape
@@ -47,7 +76,7 @@ def _normal_kernel(seed_ref, out_ref):
     u1 = (b1.astype(jnp.float32) + 2147483648.0 + 1.0) / 4294967297.0
     u2 = (b2.astype(jnp.float32) + 2147483648.0) / 4294967296.0
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    out_ref[:] = r * jnp.cos(_TWO_PI * u2)
+    out_ref[:] = r * _cos_sin_2pi(u2)[0]
 
 
 def pallas_normal(seed, shape, force_kernel: bool = False) -> jax.Array:
@@ -74,11 +103,17 @@ def pallas_normal(seed, shape, force_kernel: bool = False) -> jax.Array:
         rows = -(-rows // 8) * 8     # sublane-aligned
         flat = pallas_normal(seed, (rows, 128), force_kernel=force_kernel)
         return flat.reshape(-1)[:n].reshape(shape)
+    # ~4 live full-shape planes (bits x2, u's, polynomial temps) on top
+    # of the output: the default 16M scoped-vmem limit OOMs past ~2^20
+    # draws (measured 47M needed at 2^22)
+    out_bytes = shape[0] * shape[1] * 4
     return pl.pallas_call(
         _normal_kernel,
         out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(120 << 20, max(32 << 20, 6 * out_bytes))),
         interpret=pltpu.InterpretParams() if not _on_tpu() else False,
     )(seed)
 
@@ -145,7 +180,7 @@ def propagate_gaussian(
         b2 = pltpu.prng_random_bits((BLK, nx))
         u1 = (b1.astype(jnp.float32) + 2147483648.0 + 1.0) / 4294967297.0
         u2 = (b2.astype(jnp.float32) + 2147483648.0) / 4294967296.0
-        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+        z = jnp.sqrt(-2.0 * jnp.log(u1)) * _cos_sin_2pi(u2)[0]
         out_ref[:] = xn + jnp.dot(
             z, chol_ref[:].T, preferred_element_type=jnp.float32
         )

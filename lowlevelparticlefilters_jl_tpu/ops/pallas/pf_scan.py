@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .noise import _on_tpu
+from .noise import _cos_sin_2pi, _on_tpu
 from .resample_route import (
     _iota_index, _layout_dims, _vmem_need, hs_cummax, hs_cumsum,
     route_systematic)
@@ -661,10 +661,13 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
             u1 = (b1.astype(jnp.float32) + 2147483648.0 + 1.0) / 4294967297.0
             u2 = (b2.astype(jnp.float32) + 2147483648.0) / 4294967296.0
             rr = jnp.sqrt(-2.0 * jnp.log(u1))
-            th = _TWO_PI * u2
-            outs.append(rr * jnp.cos(th))
+            # polynomial cos/sin pair: Mosaic's native jnp.cos/sin cost
+            # ~2.5 us per [8, 12544] plane EACH (noise was 70% of the
+            # resample-free step) — see noise._cos_sin_2pi
+            cv, sv = _cos_sin_2pi(u2)
+            outs.append(rr * cv)
             if len(outs) < k:
-                outs.append(rr * jnp.sin(th))
+                outs.append(rr * sv)
         return outs
 
     # ---- init: x ~ d0 (filtering.jl:4-14), uniform weights ----------
