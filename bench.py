@@ -109,13 +109,16 @@ def certify_kernels():
         checks["ffbs_select_exact_copy"] = False
         checks["ffbs_select_exact_error"] = repr(e)[:160]
 
-    # hardware-PRNG noise kernel: moment sanity on 2^20 draws
+    # hardware-PRNG noise kernel: moment sanity on 2^20 draws (kurtosis
+    # included — the moment most sensitive to the polynomial cos/sin
+    # pair that replaced Mosaic's ~2.5 us/plane native trig)
     try:
         z = np.asarray(jax.device_get(pallas_normal(7, (1 << 20,))))
         checks["noise_moments"] = bool(
             abs(float(z.mean())) < 0.01
             and abs(float(z.std()) - 1.0) < 0.01
-            and abs(float((z ** 3).mean())) < 0.02)
+            and abs(float((z ** 3).mean())) < 0.02
+            and abs(float((z ** 4).mean()) - 3.0) < 0.06)
     except Exception as e:
         checks["noise_moments"] = False
         checks["noise_error"] = repr(e)[:160]
@@ -639,7 +642,7 @@ def bench_parallel_kf(T=100_000):
     return dt_seq / dt_par, dt_seq, dt_par, par_rate
 
 
-def _roofline_fields(pff_rate, pkf_rate, ukf_fused_rate):
+def _roofline_fields(pff_step_rate, pkf_rate, ukf_fused_rate):
     """Fused-kernel issue-bound rooflines (VERDICT r3 ask #6): analytic
     per-step vreg-op models vs measured per-step cost.  The pf_scan and
     assoc_scan bounds assume full 4-ALU issue; ukf_scan's step is one
@@ -647,8 +650,11 @@ def _roofline_fields(pff_rate, pkf_rate, ukf_fused_rate):
     says per-op LATENCY dominates — the documented sequential floor."""
     out = {}
     try:
+        # step-only rate (resampling disabled): the util of the KERNEL's
+        # per-step work — mixing the amortized resample firings in made
+        # the field model-dependent
         bound = _pf_scan_bound_us(100_000, 2, 2)
-        step_us = 100_000 / pff_rate * 1e6
+        step_us = 100_000 / pff_step_rate * 1e6
         out["pf_scan_step_bound_us"] = round(bound, 3)
         out["pf_scan_issue_util"] = round(bound / step_us, 3)
     except Exception:
@@ -792,7 +798,7 @@ def main():
         # fused-kernel rooflines: VPU ISSUE bound (vreg-ops / 4 ALUs /
         # 1.5 GHz; docs/benchmark.md) vs measured per-step cost — a
         # kernel regression moves these ratios, not just raw rates
-        **_roofline_fields(pff_rate, pkf_rate, ukf_fused_rate),
+            **_roofline_fields(pff_step_rate, pkf_rate, ukf_fused_rate),
         # ---- certs + headline: keep LAST (tail-capture survival) ----
         **{f"cert_{k}": v for k, v in cert.items()},
         "pf_path": "pallas_fused_scan" if use_fused else "xla_scan",

@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .noise import _cos_sin_2pi, _on_tpu
 from .resample_route import (
-    _iota_index, _layout_dims, _vmem_need, hs_cummax, hs_cumsum,
+    _iota_index, _layout_dims, _vmem_need, hs_cumsum,
     route_systematic)
 
 _LOG2PI = 1.8378770664093453
@@ -858,14 +858,22 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
         if not no_resample:
             @pl.when(valid_t & do)
             def _resample():
-                cum = hs_cumsum(we, NB, NL)
-                tot = jnp.sum(we)
+                # INTEGER cumsum: weights quantized to 2^-24 granularity
+                # (relative ~1e-7 — far below the f32 noise of the rest
+                # of the recursion) make the slot boundaries monotone BY
+                # CONSTRUCTION: the int prefix sum is exact, f32 of an
+                # int <= 2^24 is exact, and x -> ceil(x*s - r) is
+                # monotone — so the hs_cummax repair scan the f32
+                # formulation needed (~6 us/firing, 17 roll stages) is
+                # dropped.  The draw stream/boundaries differ from the
+                # XLA path either way (kernel-internal contract).
+                wi = jnp.floor(we * 16777216.0 + 0.5).astype(jnp.int32)
+                Ci = hs_cumsum(wi, NB, NL)
+                Cf = Ci.astype(jnp.float32)
+                tot = jnp.max(Cf)
                 r = _uniform_scalar()
-                K = jnp.ceil(cum * (jnp.float32(N) / tot) - r)
+                K = jnp.ceil(Cf * (jnp.float32(N) / tot) - r)
                 K = jnp.clip(K, 0.0, jnp.float32(N)).astype(jnp.int32)
-                # Hillis-Steele f32 cumsum is not monotone under
-                # rounding; routing needs sorted K (_systematic_slots)
-                K = hs_cummax(K, NB, NL)
                 K = jnp.where(pad, jnp.int32(N), K)
                 routed = route_systematic(
                     [xpl_ref[d] for d in range(nx)], K, N, NL)

@@ -151,41 +151,43 @@ def _kernel_fits(N: int, nx: int) -> bool:
 def resample_systematic_gather(x: jax.Array, we: jax.Array, key: jax.Array) -> jax.Array:
     """Fused systematic resample + particle gather: ``x[resample(we)]``.
 
-    On TPU at N >= 32768 this runs as ONE pallas kernel
-    (ops/pallas/resample_v2.py): windowed MXU one-hot contractions
-    compute both the index counts and the gathered particles in VMEM —
-    ~224 µs at N=1e5 on v5e (T-slope) vs ~610 µs for the XLA
-    formulation (index matmul ~260-360 µs + row gather ~240-330 µs,
-    which serializes).  Everywhere else: matmul-formulated indices
-    (:func:`_systematic_j_matmul`) + one row take.  BOTH paths are
-    exact and bitwise IDENTICAL to ``x[resample_systematic(we)]`` —
-    same K slot boundaries, and the kernel's 0/1-mask contractions
-    select (never approximate) particle values.
+    On TPU at N >= 32768 (nx <= 4) this runs as ONE pallas kernel —
+    preferred: the monotone log-shift routing kernel
+    (ops/pallas/resample_route.py, ~150 µs at N=1e5/nx=2 on v5e with
+    skewed weights) — vs ~610 µs for the XLA formulation (index matmul
+    ~260-360 µs + row gather ~240-330 µs, which serializes); the
+    windowed-MXU kernel (ops/pallas/resample_v2.py, ~360 µs) remains as
+    the fallback where routing exceeds its VMEM envelope.  Everywhere
+    else: matmul-formulated indices (:func:`_systematic_j_matmul`) +
+    one row take.  ALL paths are exact and bitwise IDENTICAL to
+    ``x[resample_systematic(we)]`` — same K slot boundaries, and the
+    kernels select (never approximate) particle values.
     """
     N = we.shape[-1]
-    # The kernel computes in f32 (bf16 hi/mid/lo splits cover a 24-bit
-    # mantissa); f64 particles under jax x64 would silently lose
+    # The kernels compute in f32 (v2's bf16 hi/mid/lo splits cover a
+    # 24-bit mantissa); f64 particles under jax x64 would silently lose
     # precision, so the bitwise contract gates admission on f32.
     if x.ndim == 2 and x.dtype == jnp.float32 and N >= _KERNEL_MIN_N:
         from .pallas.noise import _on_tpu
 
-        if _on_tpu() and _kernel_fits(N, x.shape[1]):
-            from .pallas.resample_v2 import fused_systematic_gather
-
-            out, _ = fused_systematic_gather(x, we, key)
-            return out.astype(x.dtype)
-        # Past the windowed kernel's VMEM envelope (N ≳ 3e5 at nx=4) the
-        # XLA alternatives are at their worst (scatter histogram ≈ 8.8 ms
-        # at N=1e6) — route through the monotone log-shift kernel
-        # (ops/pallas/resample_route.py, also bitwise exact; measured
-        # 2.7 ms at N=1e6/nx=2 on v5e).  nx ≤ 4 mirrors the v2 crossover
-        # pending wider-state measurements (nx=8 thrashes VMEM).
+        # PREFERRED: the monotone log-shift routing kernel — after the
+        # r4 packed-stage + dynamic-trip-count rework it beats the
+        # windowed-MXU v2 kernel at every measured admitted config
+        # (v5e, skewed weights: N=1e5 nx=2 150 vs 361 us, nx=4 317 vs
+        # 366; N=32768 nx=2 32 vs 177, nx=4 14 vs 47).  Cost is linear
+        # in nx (payload planes), so nx <= 4 stays the admission edge
+        # vs the XLA matmul-index + row-take fallback.
         from .pallas.resample_route import (
             fused_systematic_gather_route, route_kernel_fits)
 
         if (_on_tpu() and x.shape[1] <= 4
                 and route_kernel_fits(N, x.shape[1])):
             return fused_systematic_gather_route(x, we, key)
+        if _on_tpu() and _kernel_fits(N, x.shape[1]):
+            from .pallas.resample_v2 import fused_systematic_gather
+
+            out, _ = fused_systematic_gather(x, we, key)
+            return out.astype(x.dtype)
     j = resample_systematic(we, key)
     return jnp.take(x, j, axis=0)
 
