@@ -477,36 +477,41 @@ def _pf_kernel_run(pf, u, y, seed, x0, _debug_no_resample,
     f_flat, f_consts, f_aff, f_ew = _flatten(pf.dynamics, nx, nu, pf.p)
     g_flat, g_consts, g_aff, g_ew = _flatten(pf.measurement, nx, nu, pf.p)
     nf, ng = len(f_consts), len(g_consts)
-    # Elementwise plane path: dot-free callbacks evaluate double-vmapped
-    # over BOTH plane axes in ONE dispatch ([nx, 8, NL] -> [k, 8, NL])
-    # instead of 8 per-sublane-row dispatches (the rank-3 Mosaic crash is
-    # specific to batched dots, which _jaxpr_elementwise_ok excludes).
-    ew = f_ew and g_ew and "norowv" not in dbg
+    # Elementwise plane path: a dot-free callback evaluates double-
+    # vmapped over BOTH plane axes in ONE dispatch ([nx, 8, NL] ->
+    # [k, 8, NL]) instead of 8 per-sublane-row dispatches (the rank-3
+    # Mosaic crash is specific to batched dots, which
+    # _jaxpr_elementwise_ok excludes); per-callback, like the affine
+    # flags below.
     w_ew = w_ew and "norowv" not in dbg
 
-    # Affine fast path: when both callbacks are affine in x (static
-    # jaxpr check), precompute the per-step matrices M_t/c_t (dynamics)
-    # and H_t/d_t (measurement) in XLA and evaluate the step as
-    # scalar-x-plane combinations on full [8, NL] planes — no in-kernel
-    # dots, no sublane-row loops (measured 37 us -> ~1 us of callback
-    # cost per step at N=1e5 on v5e).
-    affine = f_aff and g_aff and "noaffine" not in dbg
-    if affine:
+    # Affine fast path, PER CALLBACK: when a callback is affine in x
+    # (static jaxpr check), precompute its per-step matrices (M_t/c_t
+    # for dynamics, H_t/d_t for measurement) in XLA and evaluate the
+    # step as scalar-x-plane combinations on full [8, NL] planes — no
+    # in-kernel dots, no sublane-row loops (measured 37 us -> ~1 us of
+    # callback cost per step at N=1e5 on v5e).  The flags are
+    # independent so e.g. a linear-dynamics model with a nonlinear
+    # (dot-free) sensor takes the affine path for f and the
+    # double-vmapped elementwise plane path for g.
+    f_affine = f_aff and "noaffine" not in dbg
+    g_affine = g_aff and "noaffine" not in dbg
+    if f_affine or g_affine:
         zx = jnp.zeros((nx,), jnp.float32)
         tks = jnp.arange(T, dtype=jnp.float32) * Ts
 
         def mats(u_, tk):
-            ff = lambda xx: f_flat(xx, u_, tk, *f_consts)
-            gg = lambda xx: g_flat(xx, u_, tk, *g_consts)
-            return (jax.jacfwd(ff)(zx), ff(zx),
-                    jax.jacfwd(gg)(zx), gg(zx))
+            out = []
+            if f_affine:
+                ff = lambda xx: f_flat(xx, u_, tk, *f_consts)
+                out += [jax.jacfwd(ff)(zx).reshape(nx * nx), ff(zx)]
+            if g_affine:
+                gg = lambda xx: g_flat(xx, u_, tk, *g_consts)
+                out += [jax.jacfwd(gg)(zx).reshape(ny * nx), gg(zx)]
+            return jnp.concatenate(out)
 
-        M_seq, c_seq, H_seq, d_seq = jax.vmap(mats)(us_full, tks)
-        ncoef = nx * nx + nx + ny * nx + ny
-        coef = jnp.concatenate(
-            [M_seq.reshape(T, nx * nx), c_seq,
-             H_seq.reshape(T, ny * nx), d_seq], axis=1)
-        ab = _blocked(coef, ncoef)
+        coef = jax.vmap(mats)(us_full, tks)
+        ab = _blocked(coef, coef.shape[1])
     else:
         ab = jnp.zeros((TB, 1, LB), jnp.float32)
 
@@ -535,8 +540,10 @@ def _pf_kernel_run(pf, u, y, seed, x0, _debug_no_resample,
         g_flat=g_flat, w_flat=w_flat, gauss_meas=gauss_meas,
         use_prng=_on_tpu() and "noprng" not in dbg,
         has_x0=has_x0, no_resample=_debug_no_resample, dbg=dbg,
-        affine=affine, want_means=want_means, want_cov=want_cov,
-        has_w0=has_w0, want_final=want_final, ew=ew, w_ew=w_ew)
+        f_affine=f_affine, g_affine=g_affine, want_means=want_means,
+        want_cov=want_cov, has_w0=has_w0, want_final=want_final,
+        f_ew=f_ew and "norowv" not in dbg,
+        g_ew=g_ew and "norowv" not in dbg, w_ew=w_ew)
     nmom = nx + (nx * (nx + 1)) // 2 if want_cov else nx
     consts = [jnp.asarray(c) for c in [*f_consts, *g_consts, *w_consts]]
     out_shape = [
@@ -607,8 +614,9 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
                T, TB, LB, N, NL,
                NB, nx, ny, nu, Ts, thresh, nf, ng, nw, f_flat, g_flat,
                w_flat, gauss_meas, use_prng, has_x0, no_resample=False,
-               dbg="", affine=False, want_means=False, want_cov=False,
-               has_w0=False, want_final=False, ew=False, w_ew=False):
+               dbg="", f_affine=False, g_affine=False, want_means=False,
+               want_cov=False, has_w0=False, want_final=False,
+               f_ew=False, g_ew=False, w_ew=False):
     nmom = nx + (nx * (nx + 1)) // 2 if want_cov else nx
     const_refs = rest[:nf + ng + nw]
     o = rest[nf + ng + nw:]
@@ -704,13 +712,15 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
         maskf = (lane == s).astype(jnp.float32)
         y2 = (yblk @ maskf.T).T          # [1, ny]
         uvec = (ublk @ maskf.T)[:, 0] if nu > 0 else None
-        if affine:
-            # per-step affine coefficients: [nx*nx + nx + ny*nx + ny, 1]
+        if f_affine or g_affine:
+            # per-step affine coefficients (f segment then g segment,
+            # each present only when the matching flag is set)
             av = ablk @ maskf.T
+            off_g = (nx * nx + nx) if f_affine else 0
             Mv = lambda d, e: av[d * nx + e, 0]
             cv = lambda d: av[nx * nx + d, 0]
-            Hv = lambda e, j: av[nx * nx + nx + e * nx + j, 0]
-            dv = lambda e: av[nx * nx + nx + ny * nx + e, 0]
+            Hv = lambda e, j: av[off_g + e * nx + j, 0]
+            dv = lambda e: av[off_g + ny * nx + e, 0]
         valid_t = t < T
         if use_prng:
             pltpu.prng_seed(seed_ref[0], t)
@@ -770,7 +780,7 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
                      for e in range(ny)], 0)                 # [ny, NL]
                 logp_rows.append(Wv(e_row))                  # [1, NL]
             return jnp.concatenate(logp_rows, axis=0)        # [8, NL]
-        if affine:
+        if g_affine:
             # y_hat[e] = sum_j H[e,j] x[j] + d[e] as scalar-x-plane
             # combos on the full [8, NL] planes — no row loop, no dots
             yhp = []
@@ -780,7 +790,7 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
                     acc = acc + Hv(e, j) * xpl_ref[j]
                 yhp.append(acc)
             logp = _logp_planes(yhp)
-        elif ew and "nocall" not in dbg:
+        elif g_ew and "nocall" not in dbg:
             # elementwise plane path: ŷ for the whole cloud in ONE
             # double-vmapped dispatch
             yh_all = Gv2(xpl_ref[...])                       # [ny, 8, NL]
@@ -886,7 +896,7 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
         @pl.when(valid_t)
         def _predict():
             zs = _normals_list(nx)
-            if affine:
+            if f_affine:
                 # x'[d] = sum_e M[d,e] x[e] + c[d] + mu1[d] + (L1 z)[d]
                 olds = [xpl_ref[d] for d in range(nx)]  # read before write
                 for d in range(nx):
@@ -895,7 +905,7 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
                     for e in range(nx):
                         acc = acc + Mv(d, e) * olds[e] + L1[d, e] * zs[e]
                     xpl_ref[d] = acc
-            elif ew and "nocall" not in dbg:
+            elif f_ew and "nocall" not in dbg:
                 # elementwise plane path: propagate the whole cloud in
                 # ONE double-vmapped dispatch, then add noise as
                 # scalar-plane combos

@@ -169,6 +169,33 @@ def test_elementwise_and_row_paths_agree():
     np.testing.assert_allclose(float(ll_p), ll_xla, rtol=1e-5)
 
 
+def test_mixed_affine_elementwise_paths_agree():
+    """Per-callback path selection: affine dynamics (A @ x has dots, so
+    no elementwise path) + dot-free nonlinear measurement must run the
+    affine path for f AND the plane path for g — and agree with the
+    all-rows fallback and the XLA oracle."""
+    import os
+
+    pf = llpf.ParticleFilter(
+        N=N, dynamics=lambda x, u, p, t: A @ x + B @ u,
+        measurement=lambda x, u, p, t: jnp.tanh(x), dynamics_density=R1z,
+        measurement_density=R2,
+        initial_density=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)),
+        resample_threshold=0.0)
+    x0, s0 = _shared_state()
+    us, ys = _data(17)
+    ll_fast, _ = pf_loglik_fused(pf, us, ys, 0, x0=x0, force_kernel=True)
+    os.environ["PF_SCAN_DEBUG"] = "noaffine norowv"
+    try:
+        ll_rows, _ = pf_loglik_fused(pf, us, ys, 0, x0=x0,
+                                     force_kernel=True)
+    finally:
+        del os.environ["PF_SCAN_DEBUG"]
+    np.testing.assert_allclose(float(ll_fast), float(ll_rows), rtol=1e-5)
+    ll_xla = float(pf.loglik(us, ys, state0=s0, method="sequential"))
+    np.testing.assert_allclose(float(ll_fast), ll_xla, rtol=1e-5)
+
+
 def test_affine_and_row_paths_agree():
     """Same model through the affine fast path and the per-sublane-row
     callback path (PF_SCAN_DEBUG=noaffine is env-only, so drive the flag
