@@ -398,14 +398,20 @@ def bench_ukf(T=50_000):
                                          method="sequential"))
     dt = _timeit(run, ys)
 
+    # T-slope for the kernel-speed fields: at ~1.6 us/step a flat
+    # _timeit(T=50k) folds the ~27 ms relay dispatch into the rate
+    # (~25% underreport)
+    ys8 = jax.random.normal(key, (8 * T, 2), dtype=jnp.float32)
+
     # the plain verb (auto-routed: affine-detected -> EKF whole-scan
     # kernel on TPU) — what a migrating user gets
     runr = jax.jit(lambda ys: llpf.loglik(ukf, None, ys))
-    dtr = _timeit(runr, ys)
+    routed_rate = 7 * T / max(_timeit(runr, ys8) - _timeit(runr, ys), 1e-3)
 
     # whole-scan pallas kernel (ops/pallas/ukf_scan.py)
     runf = jax.jit(lambda ys: llpf.ukf_loglik_fused(ukf, ys))
-    dtf = _timeit(runf, ys)
+    dtf1 = _timeit(runf, ys)
+    fused_rate = 7 * T / max(_timeit(runf, ys8) - dtf1, 1e-3)
 
     # the TPU-native execution mode: a bank of 1024 independent UKF passes
     Bk = 1024
@@ -433,7 +439,7 @@ def bench_ukf(T=50_000):
         bank_aff_rate, _ = _tslope(make_aff, 200, 6400)
     except Exception:
         bank_aff_rate = float("nan")
-    return T / dt, dt, bank_rate, T / dtf, bank_aff_rate, T / dtr
+    return T / dt, dt, bank_rate, fused_rate, bank_aff_rate, routed_rate
 
 
 def bench_ffbs(N=1000, M=1000, T=500):

@@ -57,6 +57,27 @@ _NEG = -1.0e30
 _TWO_PI = 6.283185307179586
 
 
+def _pf_vmem_est(N: int, nx: int) -> int:
+    """Compile-time VMEM high-water estimate for the fused PF kernel:
+    the in-kernel routing stage's live planes (resample_route._vmem_need)
+    plus the persistent cloud/log-weight scratch planes, plus margin for
+    blocked inputs and Mosaic temporaries.  Calibrated on hardware: at
+    N=1e6/nx=2 the compiler reports a 93.81 MiB stack vs the routing
+    term's 68.7 MiB — the old `routing + 16 MiB` estimate under-set
+    `vmem_limit_bytes` and the compile OOM'd even though the admission
+    gate had said yes.  NOTE the reported stack need scales with the
+    limit itself (measured: limit 84.7 -> need 93.8, limit 96.1 ->
+    need 103.5, limit 127 -> fits and runs), so in the large-cloud
+    regime the call-site pins the limit at the physical 127 MiB
+    instead of chasing the estimate."""
+    _, Npad = _layout_dims(N)
+    return _vmem_need(N, nx) + (nx + 1) * Npad * 4 + (16 << 20)
+
+
+# v5e VMEM is 128 MiB; leave headroom for the compiler's own buffers.
+_PF_VMEM_BUDGET = 108 << 20
+
+
 def _flatten(fn, nx, nu, p):
     """Hoist closed-over tracers and literal consts of a user callback
     into explicit arguments (the ukf_scan.py / noise.py pattern)."""
@@ -240,9 +261,10 @@ def pf_scan_supported(pf) -> bool:
         return False
     nx = pf.nx
     # routing high-water plus the persistent cloud/weight planes and the
-    # blocked input sequences; v5e VMEM is 128M (see resample_route.py)
-    vmem = _vmem_need(pf.N, nx) + (16 << 20)
-    return nx <= 8 and vmem <= (100 << 20)
+    # blocked input sequences; v5e VMEM is 128M (see resample_route.py).
+    # Admits N=1e6 at nx<=2 (measured stack 93.8 MiB, compiles under the
+    # 108 MiB budget); larger clouds fall back to the XLA path.
+    return nx <= 8 and _pf_vmem_est(pf.N, nx) <= _PF_VMEM_BUDGET
 
 
 def pf_loglik_fused(pf, u, y, seed, x0: Optional[jax.Array] = None,
@@ -577,8 +599,13 @@ def _pf_kernel_run(pf, u, y, seed, x0, _debug_no_resample,
             out_specs=tuple(out_specs),
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=max(32 << 20,
-                                     _vmem_need(N, nx) + (16 << 20))),
+                # small clouds: estimate-based (the tuned N<=1e5 configs
+                # compile at 32M); large clouds: pin the physical 127M —
+                # Mosaic's reported stack need grows with the limit and
+                # an estimate-sized limit OOMs at N=1e6 (see _pf_vmem_est)
+                vmem_limit_bytes=(127 << 20)
+                if _pf_vmem_est(N, nx) > (64 << 20)
+                else max(32 << 20, _pf_vmem_est(N, nx))),
             interpret=pltpu.InterpretParams() if not _on_tpu() else False,
         )(jnp.asarray(seed, jnp.int32).reshape(1), ysb, usb, L1, mu1,
           L2inv, mu2, L0, mu0, x0p, ab, w0p, *consts)

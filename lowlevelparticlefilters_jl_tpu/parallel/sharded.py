@@ -670,7 +670,8 @@ def pf_sharded_scan_supported(pf, n_devices: int) -> bool:
     """Admission for :func:`sharded_pf_loglik_fused`: the per-DEVICE
     sub-cloud must fit the kernel's VMEM envelope — global N can be
     n_devices× larger than the single-chip ``pf_scan_supported`` bound."""
-    from ..ops.pallas.pf_scan import _vmem_need, pf_scan_supported
+    from ..ops.pallas.pf_scan import (_PF_VMEM_BUDGET, _pf_vmem_est,
+                                      pf_scan_supported)
 
     if pf.N % n_devices:
         return False
@@ -678,8 +679,9 @@ def pf_sharded_scan_supported(pf, n_devices: int) -> bool:
         pf.replace(N=pf.N // n_devices) if hasattr(pf, "replace") else pf
     ):
         # fall back to checking the per-device envelope directly
-        vmem = _vmem_need(pf.N // n_devices, pf.nx) + (16 << 20)
-        if not (pf.nx <= 8 and vmem <= (100 << 20)):
+        if not (pf.nx <= 8
+                and _pf_vmem_est(pf.N // n_devices, pf.nx)
+                <= _PF_VMEM_BUDGET):
             return False
     return True
 
