@@ -743,6 +743,13 @@ def main():
         pff_step_rate, _, _ = bench_pf_fused(no_resample=True)
     except Exception:
         pff_step_rate = float("nan")
+    try:
+        # million-particle cloud, whole recursion in one VMEM-resident
+        # kernel (r4 admission: calibrated estimate + pinned 127M limit)
+        pff_1m_rate, _, pff_1m_ok = bench_pf_fused(N=1_000_000, T=256,
+                                                   T2=2048)
+    except Exception as e:  # records compile/admission failures in-artifact
+        pff_1m_rate, pff_1m_ok = float("nan"), repr(e)[:120]
 
     # headline = the library's fastest supported execution of the
     # reference benchmark workload: the fused whole-scan kernel when it
@@ -787,6 +794,10 @@ def main():
         "pf_fused_nonlinear_vs_baseline": round(
             pff_nl_rate / BASELINE_PF_PARTICLE_STEPS_PER_S, 2),
         "pf_fused_nonlinear_ll_finite": bool(pff_nl_ok),
+        "pf_fused_N1e6_steps_per_s": round(pff_1m_rate, 1),
+        "pf_fused_N1e6_ll_matches_kf": (bool(pff_1m_ok)
+                                        if isinstance(pff_1m_ok, bool)
+                                        else pff_1m_ok),
         "parallel_kf_speedup_T1e5": round(pkf_speedup, 2),
         "parallel_ukf_equiv_steps_per_s_T50k": round(pukf_rate, 1),
         "parallel_ukf_vs_julia_baseline": round(
