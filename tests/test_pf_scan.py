@@ -367,3 +367,18 @@ def test_supported_gate():
         initial_density=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)),
         resampling_strategy="stratified")
     assert not pf_scan_supported(pf_res)
+
+
+def test_supported_gate_vmem_envelope():
+    """N=1e6 clouds are admitted at nx=2 (calibrated VMEM estimate +
+    pinned 127 MiB compile limit, commit 10b8630) but must stay rejected
+    once the estimate exceeds the v5e budget; the sharded gate admits
+    n_devices x the single-chip bound."""
+    from lowlevelparticlefilters_jl_tpu.parallel.sharded import (
+        pf_sharded_scan_supported)
+
+    pf1m = _pf(0.1).replace(N=1_000_000)
+    assert pf_scan_supported(pf1m)
+    assert not pf_scan_supported(_pf(0.1).replace(N=4_000_000))
+    assert pf_sharded_scan_supported(_pf(0.1).replace(N=8_000_000), 8)
+    assert not pf_sharded_scan_supported(_pf(0.1).replace(N=8_000_001), 8)
