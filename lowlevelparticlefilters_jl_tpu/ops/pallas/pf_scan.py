@@ -102,15 +102,23 @@ def _flatten(fn, nx, nu, p):
     consts = [jnp.asarray(c).reshape(1, 1) if jnp.ndim(c) == 0
               else jnp.asarray(c) for c in consts]
 
+    aff = _jaxpr_affine_in_x(closed.jaxpr)
+    ew = _jaxpr_elementwise_ok(closed.jaxpr)
+    # dots on tiny operands unroll to mul/sum (-> elementwise path: one
+    # double-vmapped dispatch instead of 8 row dispatches); skip for
+    # affine callbacks, whose fast path is cheaper still
+    unroll = (not aff and not ew
+              and _jaxpr_ew_after_unroll(closed.jaxpr))
+    evaljx = _eval_jaxpr_unroll if unroll else (
+        lambda jx, cs, *a: jax.core.eval_jaxpr(jx, cs, *a))
+
     def flat(x, u, tk, *cs):
         cs = [c.reshape(s) if s == () else c for c, s in zip(cs, shapes)]
         args = (x, u, tk) if nu > 0 else (x, tk)
-        (out,) = jax.core.eval_jaxpr(closed.jaxpr, cs[:n_lit], *args,
-                                     *cs[n_lit:])
+        (out,) = evaljx(closed.jaxpr, cs[:n_lit], *args, *cs[n_lit:])
         return out
 
-    return (flat, consts, _jaxpr_affine_in_x(closed.jaxpr),
-            _jaxpr_elementwise_ok(closed.jaxpr))
+    return flat, consts, aff, ew or unroll
 
 
 # Primitives through which x-dependence may flow while preserving
@@ -192,6 +200,100 @@ def _jaxpr_elementwise_ok(jaxpr) -> bool:
     return all(eqn.primitive.name in _EW_OK for eqn in jaxpr.eqns)
 
 
+# ---- small-dot unrolling: admit dot-containing callbacks to the ----
+# ---- elementwise plane path ----------------------------------------
+#
+# The Mosaic crash behind the per-sublane-row dispatch is specific to
+# rank-3 BATCHED dot_general (see the step_in_block comment).  A
+# callback like ``A @ x + sin(x)`` is not affine (fails the fast path)
+# and contains a dot (fails _jaxpr_elementwise_ok), so it paid the 8-row
+# dispatch (~72 us/step at N=1e5) even though its dots act on tiny
+# [nx, nx] x [nx] operands.  Rewriting those dots as broadcast-mul +
+# reduce_sum (pure _EW_OK primitives; on [nx]-sized values the MXU
+# gains nothing anyway) makes the whole jaxpr elementwise-safe and the
+# callback runs as ONE double-vmapped dispatch on the [nx, 8, NL] cloud.
+#
+# Gate: every dot operand AND the mul-expanded intermediate
+# (free_l x free_r x contract elements, i.e. intermediate PLANES after
+# the double vmap) stay <= _DOT_UNROLL_MAX — bounds VMEM/vreg pressure.
+_DOT_UNROLL_MAX = 64
+
+
+def _dot_small(eqn) -> bool:
+    if eqn.primitive.name != "dot_general":
+        return False
+    lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+    (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+    import math
+
+    contract = math.prod(lhs.shape[d] for d in lc) if lc else 1
+    batch = math.prod(lhs.shape[d] for d in lb) if lb else 1
+    free_l = max(1, lhs.size // max(1, contract * batch))
+    free_r = max(1, rhs.size // max(1, contract * batch))
+    inter = batch * free_l * free_r * contract
+    return (lhs.size <= _DOT_UNROLL_MAX and rhs.size <= _DOT_UNROLL_MAX
+            and inter <= _DOT_UNROLL_MAX)
+
+
+def _jaxpr_ew_after_unroll(jaxpr) -> bool:
+    """True when the jaxpr is elementwise-safe EXCEPT for small dots
+    that :func:`_dot_as_mulsum` can unroll."""
+    return all(eqn.primitive.name in _EW_OK or _dot_small(eqn)
+               for eqn in jaxpr.eqns)
+
+
+def _dot_as_mulsum(a, b, dimension_numbers):
+    """dot_general on tiny operands as transpose + broadcast-mul +
+    reduce_sum (all _EW_OK primitives, vmap-batchable to plane ops)."""
+    (lc, rc), (lb, rb) = dimension_numbers
+    la = [d for d in range(a.ndim) if d not in lc and d not in lb]
+    ra = [d for d in range(b.ndim) if d not in rc and d not in rb]
+    at = jnp.transpose(a, (*lb, *la, *lc))
+    bt = jnp.transpose(b, (*rb, *ra, *rc))
+    nb, nl, nr, nc = len(lb), len(la), len(ra), len(lc)
+    for _ in range(nr):                       # [*B, *L, 1..,*C]
+        at = jnp.expand_dims(at, nb + nl)
+    for _ in range(nl):                       # [*B, 1.., *R, *C]
+        bt = jnp.expand_dims(bt, nb)
+    out = at * bt
+    if nc:
+        out = jnp.sum(out, axis=tuple(range(nb + nl + nr,
+                                            nb + nl + nr + nc)))
+    return out
+
+
+def _eval_jaxpr_unroll(jaxpr, consts, *args):
+    """eval_jaxpr with every small dot_general routed through
+    :func:`_dot_as_mulsum` (other primitives bind unchanged)."""
+    from jax.extend.core import Literal
+
+    env = {}
+
+    def read(v):
+        return v.val if isinstance(v, Literal) else env[v]
+
+    for v, c in zip(jaxpr.constvars, consts):
+        env[v] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+    for eqn in jaxpr.eqns:
+        invals = [read(v) for v in eqn.invars]
+        if _dot_small(eqn):
+            pet = eqn.params.get("preferred_element_type")
+            out = _dot_as_mulsum(invals[0], invals[1],
+                                 eqn.params["dimension_numbers"])
+            if pet is not None:
+                out = out.astype(pet)
+            outs = [out]
+        else:
+            outs = eqn.primitive.bind(*invals, **eqn.params)
+            if not eqn.primitive.multiple_results:
+                outs = [outs]
+        for v, o in zip(eqn.outvars, outs):
+            env[v] = o
+    return [read(v) for v in jaxpr.outvars]
+
+
 def _meas_density_kernel_ok(d) -> bool:
     """Measurement densities the kernel can trace in-kernel beyond the
     Gaussian fast path: the scalar families of ops/distributions.py
@@ -232,13 +334,17 @@ def _flatten_density(d, ny):
     consts = [jnp.asarray(c).reshape(1, 1) if jnp.ndim(c) == 0
               else jnp.asarray(c) for c in consts]
 
+    ew = _jaxpr_elementwise_ok(closed.jaxpr)
+    unroll = not ew and _jaxpr_ew_after_unroll(closed.jaxpr)
+    evaljx = _eval_jaxpr_unroll if unroll else (
+        lambda jx, cs, *a: jax.core.eval_jaxpr(jx, cs, *a))
+
     def flat(e, *cs):
         cs = [c.reshape(s) if s == () else c for c, s in zip(cs, shapes)]
-        (out,) = jax.core.eval_jaxpr(closed.jaxpr, cs[:n_lit], e,
-                                     *cs[n_lit:])
+        (out,) = evaljx(closed.jaxpr, cs[:n_lit], e, *cs[n_lit:])
         return out
 
-    return flat, consts, _jaxpr_elementwise_ok(closed.jaxpr)
+    return flat, consts, ew or unroll
 
 
 def pf_scan_supported(pf) -> bool:

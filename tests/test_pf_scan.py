@@ -136,8 +136,14 @@ def test_elementwise_detection():
     ew_fn = lambda x, u, p, t: jnp.sin(x) + jnp.sqrt(jnp.abs(x)) * u[0]
     _, _, aff, ew = _flatten(ew_fn, 2, 1, None)
     assert ew and not aff
+    # dots on tiny operands UNROLL to mul/sum and join the plane path
     dot_fn = lambda x, u, p, t: jnp.sin(A @ x) + B @ u
     _, _, aff, ew = _flatten(dot_fn, 2, 1, None)
+    assert ew and not aff
+    # ... but large dots stay on the row path (fail closed)
+    W = jnp.ones((2, 40), jnp.float32)
+    big_fn = lambda x, u, p, t: W @ jnp.sin(W.T @ x)
+    _, _, aff, ew = _flatten(big_fn, 2, 1, None)
     assert not ew and not aff
 
 
@@ -164,6 +170,38 @@ def test_elementwise_and_row_paths_agree():
         del os.environ["PF_SCAN_DEBUG"]
     np.testing.assert_allclose(float(ll_p), float(ll_r), rtol=1e-5)
     # and the XLA oracle agrees (zero noise, no resample, shared x0)
+    ll_xla = float(pf.loglik(us, ys, state0=_shared_state()[1],
+                             method="sequential"))
+    np.testing.assert_allclose(float(ll_p), ll_xla, rtol=1e-5)
+
+
+def test_unrolled_dot_paths_agree():
+    """A model mixing small dots with nonlinearities (A @ x + sin —
+    neither affine nor dot-free) runs on the plane path via small-dot
+    unrolling; it must match the row path and the XLA oracle exactly
+    (zero noise, no resample, shared x0)."""
+    import os
+
+    Am = jnp.array([[0.9, -0.1], [0.1, 0.9]], jnp.float32)
+    Cm = jnp.array([[1.0, 0.5], [0.0, 1.0]], jnp.float32)
+    pf = llpf.ParticleFilter(
+        N=N, dynamics=lambda x, u, p, t: Am @ x + 0.1 * jnp.sin(x),
+        measurement=lambda x, u, p, t: jnp.tanh(Cm @ x),
+        dynamics_density=R1z, measurement_density=R2,
+        initial_density=llpf.MvNormal(jnp.zeros(2), jnp.eye(2)),
+        resample_threshold=0.0)
+    from lowlevelparticlefilters_jl_tpu.ops.pallas.pf_scan import _flatten
+    _, _, aff, ew = _flatten(pf.dynamics, 2, 1, None)
+    assert ew and not aff
+    x0, _ = _shared_state()
+    us, ys = _data(17)
+    ll_p, _ = pf_loglik_fused(pf, us, ys, 0, x0=x0, force_kernel=True)
+    os.environ["PF_SCAN_DEBUG"] = "norowv"
+    try:
+        ll_r, _ = pf_loglik_fused(pf, us, ys, 0, x0=x0, force_kernel=True)
+    finally:
+        del os.environ["PF_SCAN_DEBUG"]
+    np.testing.assert_allclose(float(ll_p), float(ll_r), rtol=1e-5)
     ll_xla = float(pf.loglik(us, ys, state0=_shared_state()[1],
                              method="sequential"))
     np.testing.assert_allclose(float(ll_p), ll_xla, rtol=1e-5)
