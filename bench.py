@@ -835,7 +835,190 @@ def main():
         "extra": extra,
     }
     print(json.dumps(out))
+    # Compact (<1.5 kB) summary as the FINAL stdout line: the full dump
+    # above exceeds the driver's tail-capture window (BENCH_r02-r04 all
+    # landed with "parsed": null and truncated heads), so the line the
+    # driver actually parses must be small and self-contained
+    # (VERDICT r4 #2).
+    marquee = (
+        "pf_fused_steps_per_s", "pf_always_resample_best_vs_baseline",
+        "pf_fused_nonlinear_vs_baseline", "pf_fused_N1e6_steps_per_s",
+        "kf_bank1024_passes_per_s", "ukf_fused_vs_julia_baseline",
+        "ukf_bank8192_affine_routed_vs_julia_baseline",
+        "parallel_kf_speedup_T1e5", "parallel_ukf_vs_julia_baseline",
+        "ffbs_weight_evals_per_s_MN1000_T500", "assoc_scan_ns_per_step",
+    )
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "vs_baseline": out["vs_baseline"],
+        "headline_vs_baseline": extra["headline_vs_baseline"],
+        **{k: v for k, v in extra.items() if k.startswith("cert_")},
+        **{k: extra[k] for k in marquee if k in extra},
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1500, f"summary line {len(line)}B exceeds 1.5kB"
+    print(line)
+
+
+# ---------------------------------------------------------------------------
+# --render-docs: one source of truth for published numbers (VERDICT r4 #6).
+# Reads the newest BENCH_r*.json driver artifact and rewrites the generated
+# blocks in README.md / docs/benchmark.md between BENCH:BEGIN/END markers,
+# so a doc row citing a BENCH file always equals that file's value.
+# ---------------------------------------------------------------------------
+
+# (description, rate field, scale, unit, vs-baseline field or None)
+_DOC_ROWS = [
+    ("Bootstrap PF, N=1e5, 2-state model, full loop w/ Neff-triggered "
+     "systematic resampling (threshold 0.1 = reference default), whole "
+     "recursion in ONE Mosaic kernel (auto-routed from the plain "
+     "`loglik(pf, …)` verb)",
+     "pf_fused_steps_per_s", 1e9, "G particle-steps/s",
+     "headline_vs_baseline"),
+    ("Same, resampling forced every step",
+     "pf_always_resample_best_steps_per_s", 1e9, "G particle-steps/s",
+     "pf_always_resample_best_vs_baseline"),
+    ("Same, step cost with resampling disabled (the kernel's per-step "
+     "floor)",
+     "pf_fused_step_only_steps_per_s", 1e9, "G particle-steps/s", None),
+    ("Bootstrap PF, N=1e5, genuinely NONLINEAR dot-free callbacks "
+     "(`sin`/`tanh` model): fused kernel's double-vmapped elementwise "
+     "plane path",
+     "pf_fused_nonlinear_steps_per_s", 1e9, "G particle-steps/s",
+     "pf_fused_nonlinear_vs_baseline"),
+    ("Bootstrap PF, **N=10⁶** (million-particle cloud resident in VMEM, "
+     "single kernel; larger clouds go through "
+     "`parallel.sharded_pf_loglik_fused`), ll certified against the exact "
+     "KF",
+     "pf_fused_N1e6_steps_per_s", 1e9, "G particle-steps/s", None),
+    ("UKF-class single stream, 4-state CV model, T=50k: O(log T) iterated "
+     "sigma-point smoother (`parallel_ukf_smooth`, full filter+smoother)",
+     "parallel_ukf_equiv_steps_per_s_T50k", 1e6, "M steps/s",
+     "parallel_ukf_vs_julia_baseline"),
+    ("UKF-class single stream, genuinely NONLINEAR (quadtank-style "
+     "2-state) model, 4 full unscented-SLR iterations (plane-form SLR)",
+     "parallel_ukf_nonlinear_steps_per_s_it4", 1e6, "M steps/s",
+     "parallel_ukf_nonlinear_vs_julia_baseline"),
+    ("UKF bank, affine-detected callbacks routed exactly through the "
+     "shared-Riccati KF bank (`ukf_bank_loglik`, B=8192)",
+     "ukf_bank8192_affine_routed_steps_per_s", 1e6, "M ukf-steps/s",
+     "ukf_bank8192_affine_routed_vs_julia_baseline"),
+    ("UKF, 4-state CV model, generic-callback bank of 1024 instances",
+     "ukf_bank1024_steps_per_s", 1e6, "M ukf-steps/s", None),
+    ("UKF, single stream, sequential whole-scan kernel (`loglik_fused`; "
+     "affine-detected callbacks re-route through the EKF kernel — exact, "
+     "skips both sigma generations; latency floor documented in "
+     "docs/performance.md §5b — use the parallel smoother or a bank)",
+     "ukf_fused_kernel_steps_per_s_T50k", 1e3, "k steps/s",
+     "ukf_fused_vs_julia_baseline"),
+    ("KF bank, 8192 trajectory passes × 200 steps (shared-Riccati + "
+     "associative mean recursion, lane-major planes)",
+     "kf_bank8192_passes_per_s", 1e6, "M passes/s", None),
+    ("KF bank, 1024 passes × 200 steps",
+     "kf_bank1024_passes_per_s", 1e6, "M passes/s", None),
+    ("FFBS particle smoother, M=N=1000 (fused pallas backward pass: "
+     "weights, Gumbel-max draws, selection all in VMEM)",
+     "ffbs_weight_evals_per_s_MN1000_T500", 1e9, "G weight-evals/s", None),
+    ("Same, M=1000, N=65536",
+     "ffbs_weight_evals_per_s_M1000_N65536", 1e9, "G weight-evals/s",
+     None),
+    ("Kalman filtering, T=1e5: plane-pipeline associative scan vs the "
+     "sequential scan on the same chip",
+     "parallel_kf_speedup_T1e5", 1.0, "× the sequential scan", None),
+]
+
+_BEGIN, _END = "<!-- BENCH:BEGIN", "<!-- BENCH:END -->"
+
+
+def _latest_bench():
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not files:
+        raise SystemExit("no BENCH_r*.json artifact found")
+    path = files[-1]
+    with open(path) as f:
+        art = json.load(f)
+    fields = {}
+    if isinstance(art.get("parsed"), dict):
+        # full parse available: flatten value/vs_baseline + extra
+        p = art["parsed"]
+        fields.update({k: v for k, v in p.items() if not isinstance(v, dict)})
+        fields.update(p.get("extra", {}))
+    # the tail may hold fields the parse lost (or be all we have)
+    for k, v in re.findall(
+            r'"(\w+)":\s*(-?[\d.]+(?:e-?\d+)?|true|false)',
+            art.get("tail", "")):
+        fields.setdefault(
+            k, True if v == "true" else False if v == "false" else float(v))
+    return os.path.basename(path), fields
+
+
+def _render_table(src: str, fields: dict) -> str:
+    lines = [
+        f"{_BEGIN} — generated by `python bench.py --render-docs` from "
+        f"{src}; do not edit by hand -->",
+        "| Workload | This framework | Reference (single-core Julia) "
+        "| Ratio | Source |",
+        "|---|---|---|---|---|",
+    ]
+    base = "7.37 M particle-steps/s"
+    base_ukf = "2.83 M steps/s"
+    for desc, key, scale, unit, vs_key in _DOC_ROWS:
+        if key not in fields:
+            continue  # not in this artifact's capture window
+        val = fields[key] / scale
+        vstr = f"{val:.2f} {unit}" if scale > 1.0 else f"{val:.1f}{unit}"
+        if vs_key and vs_key in fields:
+            r = fields[vs_key]
+            ratio = f"**{r:.2f}×**" if r < 10 else f"**{r:.1f}×**"
+            ref = base if "pf" in key else base_ukf
+        else:
+            ratio, ref = "—", "—"
+        lines.append(f"| {desc} | {vstr} | {ref} | {ratio} "
+                     f"| {src} `{key}` |")
+    lines.append(_END)
+    return "\n".join(lines)
+
+
+def _splice(path: str, block: str) -> bool:
+    with open(path) as f:
+        text = f.read()
+    i = text.find(_BEGIN)
+    j = text.find(_END)
+    if i < 0 or j < 0:
+        return False
+    new = text[:i] + block + text[j + len(_END):]
+    with open(path, "w") as f:
+        f.write(new)
+    return True
+
+
+def render_docs():
+    import os
+
+    src, fields = _latest_bench()
+    block = _render_table(src, fields)
+    here = os.path.dirname(os.path.abspath(__file__))
+    done = []
+    for rel in ("README.md", os.path.join("docs", "benchmark.md")):
+        if _splice(os.path.join(here, rel), block):
+            done.append(rel)
+    if done:
+        print(f"rendered {src} table into: {', '.join(done)}")
+    else:
+        print(f"ERROR: no BENCH:BEGIN/END markers found for {src}")
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--render-docs" in sys.argv:
+        render_docs()
+    else:
+        main()

@@ -106,7 +106,8 @@ from .filters.enkf import (
     ensemble_mean,
     ensemble_cov,
 )
-from .filters.imm import InteractingMultipleModels, IMM, IMMState, IMMInfo
+from .filters.imm import (
+    InteractingMultipleModels, IMM, IMMState, IMMInfo, interact, combine)
 from .filters.rbpf import RBPF, RBState, RBMeasurementModel
 from .filters.mukf import MUKF, partition_cov, cond_linear_params
 from .filters.daeukf import (
@@ -200,6 +201,19 @@ from .utils.analysis import (
 from .routing import last_route  # which path the last verb dispatched to
 from .utils.checkpoint import save_pytree, load_pytree, resume_state
 from .utils import plotting  # matplotlib-gated; access via llpf.plotting.*
+# Root-level plot-verb parity with the reference export list
+# (src/LowLevelParticleFilters.jl:16-17).  The functions themselves gate
+# matplotlib lazily (utils/plotting.py::_plt), so importing them headless
+# is free; calling them without matplotlib raises the usual ImportError.
+from .utils.plotting import (
+    densityplot,
+    debugplot,
+    commandplot,
+    unscentedplot,
+    covplot,
+    validationplot,
+    sampleplot,
+)
 
 from .utils.signal_names import SignalNames, default_names
 from .utils.solutions import (

@@ -244,3 +244,18 @@ class InteractingMultipleModels(AbstractFilter):
 
 
 IMM = InteractingMultipleModels
+
+
+def interact(imm: InteractingMultipleModels, state: IMMState) -> IMMState:
+    """Flat-function IMM mixing step — reference-export parity for
+    ``interact!(imm)`` (src/LowLevelParticleFilters.jl:6, imm.jl:86-117).
+    Functional: returns the mixed state instead of mutating."""
+    return imm.interact_(state)
+
+
+def combine(imm: InteractingMultipleModels, state: IMMState):
+    """Flat-function IMM moment combination — reference-export parity for
+    ``combine!(imm)`` (src/LowLevelParticleFilters.jl:6, imm.jl:180-196).
+    Returns ``(x, R)``: the μ-weighted mean and covariance (including the
+    spread-of-means term) of the mode-conditional estimates."""
+    return imm.state(state), imm.covariance(state)

@@ -705,13 +705,15 @@ def _pf_kernel_run(pf, u, y, seed, x0, _debug_no_resample,
             out_specs=tuple(out_specs),
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
-                # small clouds: estimate-based (the tuned N<=1e5 configs
-                # compile at 32M); large clouds: pin the physical 127M —
-                # Mosaic's reported stack need grows with the limit and
-                # an estimate-sized limit OOMs at N=1e6 (see _pf_vmem_est)
+                # small clouds: the tuned N<=1e5 configs compile at 32M;
+                # anything past that pins the physical 127M — Mosaic's
+                # reported stack need GROWS with the limit itself (84.7M
+                # limit -> 93.8M need), so only the 32M and 127M
+                # endpoints are calibrated; estimate-sized mid-band
+                # limits are never issued (ADVICE r4 medium)
                 vmem_limit_bytes=(127 << 20)
-                if _pf_vmem_est(N, nx) > (64 << 20)
-                else max(32 << 20, _pf_vmem_est(N, nx))),
+                if _pf_vmem_est(N, nx) > (32 << 20)
+                else (32 << 20)),
             interpret=pltpu.InterpretParams() if not _on_tpu() else False,
         )(jnp.asarray(seed, jnp.int32).reshape(1), ysb, usb, L1, mu1,
           L2inv, mu2, L0, mu0, x0p, ab, w0p, *consts)
@@ -1003,13 +1005,17 @@ def _pf_kernel(seed_ref, ysb_ref, usb_ref, L1_ref, mu1_ref, L2i_ref,
             def _resample():
                 # INTEGER cumsum: weights quantized to 2^-24 granularity
                 # (relative ~1e-7 — far below the f32 noise of the rest
-                # of the recursion) make the slot boundaries monotone BY
-                # CONSTRUCTION: the int prefix sum is exact, f32 of an
-                # int <= 2^24 is exact, and x -> ceil(x*s - r) is
-                # monotone — so the hs_cummax repair scan the f32
-                # formulation needed (~6 us/firing, 17 roll stages) is
-                # dropped.  The draw stream/boundaries differ from the
-                # XLA path either way (kernel-internal contract).
+                # of the recursion; weights below 2^-25 quantize to 0 and
+                # can never be selected, which is statistically fine)
+                # make the slot boundaries monotone BY CONSTRUCTION: the
+                # int prefix sum is exact, and although the running total
+                # can exceed 2^24 (round-half-up adds up to N/2 ulp-24s),
+                # f32 rounding of a non-decreasing int sequence is
+                # MONOTONE, and x -> ceil(x*s - r) preserves that — so
+                # the hs_cummax repair scan the f32 formulation needed
+                # (~6 us/firing, 17 roll stages) is dropped.  The draw
+                # stream/boundaries differ from the XLA path either way
+                # (kernel-internal contract).
                 wi = jnp.floor(we * 16777216.0 + 0.5).astype(jnp.int32)
                 Ci = hs_cumsum(wi, NB, NL)
                 Cf = Ci.astype(jnp.float32)

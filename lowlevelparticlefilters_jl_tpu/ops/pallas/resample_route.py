@@ -265,25 +265,12 @@ def hs_cumsum(plane: jax.Array, NB: int, NL: int) -> jax.Array:
     return jax.lax.fori_loop(0, max(0, NB - 3), lane_body, plane)
 
 
-def hs_cummax(plane: jax.Array, NB: int, NL: int) -> jax.Array:
-    """Inclusive running max over the i = l*8 + s stream (log-shift).
-    Used to repair slot boundaries derived from a non-monotone f32
-    cumsum in-kernel (ops/resample.py::_systematic_slots rationale) —
-    `route_systematic` requires K non-decreasing."""
-    idx = _iota_index(NL)
-    for b in (0, 1, 2):
-        d = 1 << b
-        ok = _shift_ok(NL, d, right=True)
-        plane = jnp.maximum(plane,
-                            jnp.where(ok, _shift(plane, d, right=True),
-                                      plane))
-
-    def lane_body(k, plane):
-        dd = jnp.int32(1) << (3 + k)
-        shifted = _shift_dyn(plane, jnp.int32(1) << k, True)
-        return jnp.maximum(plane, jnp.where(idx >= dd, shifted, plane))
-
-    return jax.lax.fori_loop(0, max(0, NB - 3), lane_body, plane)
+# NOTE: a 17-stage hs_cummax (running max over the particle stream) used
+# to live here, repairing slot boundaries derived from a non-monotone
+# f32 cumsum.  The fused-PF kernel now builds boundaries from an exact
+# INTEGER hs_cumsum (pf_scan.py) whose f32 image is monotone by
+# construction, and the XLA path keeps its own running max in
+# ops/resample.py — the repair scan is gone (ADVICE r4).
 
 
 def route_systematic(payloads, K, N: int, NL: int):

@@ -33,7 +33,7 @@ def smooth(f, u, y, p=None, M: int | None = None, key=None,
 
         routed = route_smooth(f, u, y, p, method, kwargs)
         if routed is not None:
-            return routed
+            return _stamp_smooth_route(routed)
     if hasattr(f, "smooth"):
         if M is not None:
             kwargs["M"] = M
@@ -44,6 +44,18 @@ def smooth(f, u, y, p=None, M: int | None = None, key=None,
         raise TypeError("particle smoothing requires a particle filter")
     sol = forward_trajectory(f, u, y, p, **kwargs)
     return rts_smooth(sol, f, p)
+
+
+def _stamp_smooth_route(ssol):
+    """Provenance for routed smoothing solutions: stamp the inner
+    filtering solution's static ``route`` field (the outer container
+    forwards attribute access to it)."""
+    from .routing import last_route
+
+    try:
+        return ssol.replace(sol=ssol.sol.replace(route=last_route("smooth")))
+    except Exception:  # pragma: no cover
+        return ssol
 
 
 def rts_smooth(sol: KalmanFilteringSolution, kf, p=None) -> KalmanSmoothingSolution:

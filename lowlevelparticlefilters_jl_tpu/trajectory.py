@@ -80,9 +80,9 @@ def forward_trajectory(
         routed = route_forward_trajectory(f, u, y, p, method, has_cb,
                                           kwargs)
         if routed is not None:
-            return routed
+            return _stamp_route(routed, "forward_trajectory")
     if hasattr(f, "forward_trajectory"):
-        return f.forward_trajectory(
+        return _stamp_route(f.forward_trajectory(
             u,
             y,
             p,
@@ -91,8 +91,8 @@ def forward_trajectory(
             pre_predict_cb=pre_predict_cb,
             post_predict_cb=post_predict_cb,
             **kwargs,
-        )
-    return kalman_forward_trajectory(
+        ), None)
+    return _stamp_route(kalman_forward_trajectory(
         f,
         u,
         y,
@@ -102,7 +102,25 @@ def forward_trajectory(
         pre_predict_cb=pre_predict_cb,
         post_predict_cb=post_predict_cb,
         **kwargs,
-    )
+    ), None)
+
+
+def _stamp_route(sol, verb):
+    """Record execution-path provenance on a solution (static field; see
+    utils/solutions.py).  ``verb=None`` means the sequential/in-filter
+    scan ran (no routing record to consult)."""
+    if not hasattr(sol, "route"):
+        return sol
+    if verb is None:
+        path = "xla_scan"
+    else:
+        from .routing import last_route
+
+        path = last_route(verb)
+    try:
+        return sol.replace(route=path)
+    except Exception:  # pragma: no cover - exotic solution containers
+        return sol
 
 
 def kalman_forward_trajectory(

@@ -30,6 +30,10 @@ class KalmanFilteringSolution:
     - ``ok`` : per-step validity flag (True where all quantities finite) —
       the jit-compatible replacement for the reference's mid-trajectory
       exception + ``debug=true`` partial solutions (filtering.jl:316-325).
+    - ``route`` : static provenance string — which execution path produced
+      this solution ("xla_scan" | "pallas_fused_scan" |
+      "temporal_parallel"), stamped by the top-level verbs so a saved
+      solution records how it was computed (VERDICT r4 #9).
     """
 
     u: Any = field()
@@ -45,6 +49,7 @@ class KalmanFilteringSolution:
     extra: Any = field(default=None)
     t: jax.Array = field(default=None)
     ok: jax.Array = field(default=None)
+    route: Any = static_field(default=None)
 
 
 @struct
@@ -84,3 +89,4 @@ class ParticleFilteringSolution:
     we: jax.Array = field()
     ll: jax.Array = field()
     extra: Any = field(default=None)
+    route: Any = static_field(default=None)

@@ -198,3 +198,67 @@ def test_vmap_falls_back_to_sequential(kf, data, monkeypatch):
     _ = jax.vmap(lambda u_, y_: llpf.smooth(kf, u_, y_, method="parallel"
                                             ).xT)(usb, ysb)
     assert llpf.last_route("smooth") == "xla_scan"
+
+
+def test_vmap_over_filter_params_falls_back(kf, data, monkeypatch):
+    """The log_likelihood_fun sweep pattern (smoothing.jl:266-282) vmaps
+    over FILTER matrices, not data — the BatchTracers live in the filter
+    pytree.  The guard must scan the filter's leaves too (VERDICT r4 #5)
+    and route to the sequential scan, matching per-instance values."""
+    monkeypatch.setattr(routing, "_on_tpu", lambda: True)
+    u, y = data
+    scales = jnp.array([0.5, 1.0, 2.0])
+
+    lls = jax.vmap(
+        lambda s: llpf.loglik(kf.replace(R1=s * R1), u, y))(scales)
+    assert llpf.last_route("loglik") == "xla_scan"
+    want = jnp.stack([
+        llpf.loglik(kf.replace(R1=float(s) * R1), u, y,
+                    method="sequential") for s in scales])
+    assert jnp.allclose(lls, want, rtol=1e-5)
+
+    # forward_trajectory and smooth take the same guard path
+    _ = jax.vmap(
+        lambda s: llpf.forward_trajectory(kf.replace(R1=s * R1), u, y).ll
+    )(scales)
+    assert llpf.last_route("forward_trajectory") == "xla_scan"
+    _ = jax.vmap(
+        lambda s: llpf.smooth(kf.replace(R1=s * R1), u, y,
+                              method="parallel").xT)(scales)
+    assert llpf.last_route("smooth") == "xla_scan"
+
+
+def test_solution_route_provenance(kf, data):
+    """Solutions record which execution path produced them (static
+    ``route`` field, VERDICT r4 #9)."""
+    u, y = data
+    sol = llpf.forward_trajectory(kf, u, y, method="sequential")
+    assert sol.route == "xla_scan"
+    sol_p = llpf.forward_trajectory(kf, u, y, method="parallel")
+    assert sol_p.route == "temporal_parallel"
+    ssol = llpf.smooth(kf, u, y, method="parallel")
+    assert ssol.route == "temporal_parallel"
+    pf = llpf.ParticleFilter(
+        N=256,
+        dynamics=lambda x, u_, p, t: A @ x + B @ u_,
+        measurement=lambda x, u_, p, t: x,
+        dynamics_density=R1, measurement_density=R2, initial_density=R1)
+    psol = llpf.forward_trajectory(pf, u, y, key=jax.random.PRNGKey(0))
+    assert psol.route == "xla_scan"
+
+
+def test_manifold_ukf_routes_to_sequential(data, monkeypatch):
+    """Custom innovation/mean hooks (manifold filters, ukf.jl:563-601)
+    are OUTSIDE the fused-kernel scope: they must fall back to the XLA
+    scan even on TPU (the routing matrix in docs/performance.md §5b)."""
+    monkeypatch.setattr(routing, "_on_tpu", lambda: True)
+    u, y = data
+    mm = llpf.UKFMeasurementModel(
+        measurement=lambda x, u_, p, t: x, R2=R2, ny=2,
+        innovation=lambda y_, yh: y_ - yh)
+    ukf = llpf.UnscentedKalmanFilter(
+        dynamics=lambda x, u_, p, t: A @ x + B @ u_,
+        measurement_model=mm, R1=R1, nu=1)
+    ll = llpf.loglik(ukf, u, y)
+    assert llpf.last_route("loglik") == "xla_scan"
+    assert jnp.isfinite(ll)
