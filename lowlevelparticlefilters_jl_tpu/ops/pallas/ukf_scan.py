@@ -477,6 +477,392 @@ def _ukf_kernel_run(ukf, ys, us, _want_traj: bool):
     return outs[0][0, 0]
 
 
+def _tree_sum(terms):
+    """Pairwise-tree reduction: depth ⌈log₂ k⌉ instead of k — the
+    sequential kernels are dependency-latency-bound (~35 ns per chained
+    VPU op measured on v5e, round 5), so accumulation DEPTH is the cost,
+    not op count."""
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
+def _mm_rows(X, Y):
+    """Small-matrix product ``X @ Y`` as unrolled scalar-row FMAs — no
+    MXU.  Every tiny (≤8×8) dot in a whole-scan kernel pads to a full
+    (8, 128) tile and, under HIGHEST precision, runs multiple MXU
+    passes; the row form is exact f32 VPU arithmetic with log-depth
+    accumulation (round 5)."""
+    n, k = X.shape
+    rows = [
+        _tree_sum([X[i, q] * Y[q:q + 1, :] for q in range(k)])
+        for i in range(n)
+    ]
+    return jnp.concatenate(rows, axis=0) if n > 1 else rows[0]
+
+
+def _mtm_rows(X, Y):
+    """``Xᵀ @ Y`` in the same unrolled row form (no transpose
+    materialized)."""
+    k, n = X.shape
+    rows = [
+        _tree_sum([X[q, i] * Y[q:q + 1, :] for q in range(k)])
+        for i in range(n)
+    ]
+    return jnp.concatenate(rows, axis=0) if n > 1 else rows[0]
+
+
+def _const_affine_kf_params(ekf, mm, nx):
+    """Concrete constant ``(A, C)`` Jacobians for an EKF whose callbacks
+    are affine in x with state/input/time-invariant Jacobians — the
+    admission gate of the straight-line affine kernel
+    (:func:`_akf_kernel_run`).  Soundness mirrors the existing affine
+    reroutes: a static jaxpr affinity walk per probe input plus concrete
+    Jacobian-equality probes over state directions, input values, and
+    times (`parallel/temporal.py::_state_indep_flag` rationale).  Returns
+    None — falling back to the per-step re-linearizing EKF kernel —
+    whenever anything is traced (filter built under jit) or any probe
+    disagrees."""
+    import numpy as np
+
+    from ...parallel.temporal import _callback_affine_in_x
+
+    nu = max(int(getattr(ekf, "nu", 0)), 0)
+    p = ekf.p
+    Ts = float(ekf.Ts)
+
+    def _probes():
+        # built INSIDE the compile-time-eval scope: arrays created in an
+        # ambient jit trace are tracers, and ops on tracers stay traced
+        # even under the escape hatch
+        if nu > 0:
+            u_probes = [
+                jnp.zeros((nu,), jnp.float32),
+                jnp.asarray(0.7 + 0.31 * np.arange(nu), jnp.float32)]
+        else:
+            u_probes = [jnp.zeros((0,), jnp.float32)]
+        t_probes = [jnp.float32(0.0), jnp.float32(17.0 * Ts)]
+        x_probes = [
+            jnp.zeros((nx,), jnp.float32),
+            jnp.asarray(np.cos(1.0 + 2.399963 * np.arange(nx)),
+                        jnp.float32),
+            jnp.asarray(np.sin(0.5 + 1.618034 * np.arange(nx)),
+                        jnp.float32),
+        ]
+        return u_probes, t_probes, x_probes
+
+    def const_jac(fn, jac_user, u_probes, t_probes, x_probes):
+        mats = []
+        for u_ in u_probes:
+            for t_ in t_probes:
+                if not _callback_affine_in_x(
+                        lambda x, uu, pp, tt, u_=u_, t_=t_: fn(x, u_, p, t_),
+                        nx, None, None, 0.0):
+                    return None
+                for x_ in x_probes:
+                    J = (jac_user(x_, u_, p, t_) if jac_user is not None
+                         else jax.jacfwd(
+                             lambda xx: fn(xx, u_, p, t_))(x_))
+                    mats.append(np.asarray(J))  # raises on tracers
+        return mats[0] if all(
+            np.array_equal(mats[0], m) for m in mats[1:]) else None
+
+    try:
+        # the probe must evaluate even while an outer jit is tracing:
+        # omnistaging stages every jnp op into the ambient trace, so the
+        # concrete-closure Jacobian evaluations need the compile-time
+        # escape hatch (raises on genuinely traced closures -> None)
+        with jax.ensure_compile_time_eval():
+            up, tp_, xp = _probes()
+            A = const_jac(ekf.dynamics, getattr(ekf, "Ajac", None),
+                          up, tp_, xp)
+            if A is None:
+                return None
+            C = const_jac(mm.measurement, getattr(mm, "Cjac", None),
+                          up, tp_, xp)
+            if C is None:
+                return None
+            return (jnp.asarray(A, jnp.float32),
+                    jnp.asarray(C, jnp.float32))
+    except Exception:
+        return None
+
+
+def _akf_kernel_run(ekf, A, C, ys, us, _want_traj: bool):
+    """Whole-scan AFFINE Kalman filter kernel: constant ``A``/``C``
+    hoisted out of the step loop, per-step drives ``c_t = f(0, u_t, t)``
+    / ``d_t = g(0, u_t, t)`` precomputed by XLA (exact for affine
+    callbacks), and every piece of per-step algebra as unrolled VPU
+    row FMAs (:func:`_mm_rows`) — no callback evals, no jacfwd, and no
+    tiny HIGHEST-precision MXU dots inside the recursion.  This is the
+    sequential latency floor path for `KalmanFilter` (kalman.jl:75-150)
+    and for affine-detected UKF/EKF models.
+
+    Riccati freeze: for constant (A, C, R1, R2) the covariance recursion
+    is DATA-INDEPENDENT and converges geometrically to its DARE fixed
+    point; the kernel keeps (R, S, Schol, K, logdet) in VMEM scratch and
+    runs the Riccati update under ``pl.when(not converged)`` — once the
+    prior covariance moves < 1e-6 relative between steps, the per-step
+    work drops to the state/innovation chain alone (the classic
+    steady-state Kalman filter, exact to the convergence tolerance; the
+    sequential-latency answer the round-4 generic kernel could not give:
+    614 k → measured >1.5 M steps/s on the 4-state CV benchmark)."""
+    mm = ekf.measurement_model
+    T, ny = ys.shape
+    nx = ekf.nx
+    Ts = float(ekf.Ts)
+    p = ekf.p
+    alpha = float(ekf.alpha)
+    R1 = jnp.asarray(ekf.R1, jnp.float32)
+    R2 = jnp.asarray(mm.R2, jnp.float32)
+    x0 = jnp.asarray(ekf.d0.mean, jnp.float32).reshape(1, nx)
+    P0 = jnp.asarray(ekf.d0.cov, jnp.float32)
+
+    LB = 128
+    TB = -(-T // LB)
+    Tpad = TB * LB
+
+    def _blocked(a, n):
+        ap = jnp.pad(a, ((0, Tpad - T), (0, 0)))
+        return ap.T.reshape(n, TB, LB).transpose(1, 0, 2)
+
+    # drives: exact for affine callbacks; evaluated on the [T] batch in
+    # XLA, never inside the kernel.  Static elision: with concrete
+    # callbacks and inputs the drive sequences evaluate at compile time
+    # (escape hatch — omnistaging would stage them under an outer jit);
+    # all-zero drives (the plain x' = Ax, y = Cx case) then drop out of
+    # the kernel entirely.  Traced drives (u-dependent under jit) stay
+    # live.
+    import numpy as np
+
+    nu = 0 if us is None else us.shape[1]
+
+    def _drives():
+        # arrays created inside, so the compile-time-eval call sees
+        # concrete values (ambient-trace arrays would be tracers)
+        tvec = jnp.arange(T, dtype=jnp.float32) * Ts
+        zx = jnp.zeros((nx,), jnp.float32)
+        if nu > 0:
+            u32 = jnp.asarray(us, jnp.float32)
+            return (
+                jax.vmap(lambda u_, t_: ekf.dynamics(zx, u_, p, t_))(
+                    u32, tvec),
+                jax.vmap(lambda u_, t_: mm.measurement(zx, u_, p, t_))(
+                    u32, tvec),
+            )
+        zu = jnp.zeros((0,), jnp.float32)
+        return (jax.vmap(lambda t_: ekf.dynamics(zx, zu, p, t_))(tvec),
+                jax.vmap(lambda t_: mm.measurement(zx, zu, p, t_))(tvec))
+
+    try:
+        with jax.ensure_compile_time_eval():
+            cs, ds = _drives()
+            has_c = bool(np.any(np.asarray(cs)))
+            has_d = bool(np.any(np.asarray(ds)))
+    except Exception:  # traced inputs/closures — keep both drives live
+        cs, ds = _drives()
+        has_c = has_d = True
+
+    ysb = _blocked(jnp.asarray(ys, jnp.float32), ny)
+    csb = _blocked(jnp.asarray(cs, jnp.float32), nx)
+    dsb = _blocked(jnp.asarray(ds, jnp.float32), ny)
+
+    nmeta = _n_meta(nx, ny)
+
+    # freeze tolerance: relative step-to-step movement of the prior
+    # covariance below which the Riccati recursion is declared converged.
+    # 1e-7 keeps the freeze-induced ll deviation below the kernel-vs-XLA
+    # f32 noise floor (measured 2.5e-6 vs 3.4e-6 rel on the T=50k CV
+    # benchmark); the f32 recursion reaches an EXACTLY stationary point
+    # (step 80 on CV), so the freeze still fires reliably
+    _FTOL = 1e-7
+
+    def kernel(ysb_ref, *rest):
+        i = 0
+        csb_ref = dsb_ref = None
+        if has_c:
+            csb_ref, i = rest[i], i + 1
+        if has_d:
+            dsb_ref, i = rest[i], i + 1
+        x0_ref, P0_ref, R1_ref, R2_ref, A_ref, C_ref = rest[i:i + 6]
+        i += 6
+        if _want_traj:
+            ll_ref, xout_ref, Rout_ref, traj_ref = rest[i:i + 4]
+            i += 4
+        else:
+            ll_ref, xout_ref, Rout_ref = rest[i:i + 3]
+            i += 3
+        if _want_traj:
+            macc_ref = rest[i]
+            i += 1
+        # Riccati scratch: prior cov, this step's prior (for the traj
+        # planes), gain, folded transition G = Aᵀ − CᵀKᵀAᵀ, KᵀAᵀ, S⁻¹,
+        # posterior cov, S, and the SMEM [logdet | converged] pair
+        # (scalar stores must target SMEM — Mosaic rejects scalar VMEM
+        # stores on hardware, probed on v5e round 5)
+        (Rpri_ref, Rp_ref, Kt_ref, G_ref, KtAt_ref, Sinv_ref,
+         Rpost_ref, S_ref, meta_ref) = rest[i:i + 9]
+
+        R1k = R1_ref[:, :]
+        R2k = R2_ref[:, :]
+        Ak = A_ref[:, :]
+        Ck = C_ref[:, :]
+        At = Ak.T  # loop-invariant transposes, materialized once
+        Ct = Ck.T
+        eye_ny = jnp.eye(ny, dtype=jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LB), 1)
+
+        Rpri_ref[:, :] = P0_ref[:, :]
+        meta_ref[0, 0] = 0.0
+        meta_ref[0, 1] = 0.0
+
+        def step_in_block(yblk, cblk, dblk, t, carry):
+            x2, ll2 = carry
+            s = t % LB
+            maskf = (lane == s).astype(jnp.float32)  # [1, LB]
+            ext = lambda blk: jnp.sum(blk * maskf, axis=1, keepdims=True).T
+
+            # ---- Riccati update, skipped once converged --------------
+            # (data-independent for constant A/C/R1/R2: the steady-state
+            # Kalman filter after convergence, kalman.jl:75-150).  Also
+            # folds correct+predict into ONE affine step
+            #   x_{t+1} = x_t G + h_t,  G = Aᵀ − Cᵀ(KᵀAᵀ)
+            # so the frozen per-step critical path is a single matvec.
+            @pl.when(meta_ref[0, 1] == 0.0)
+            def _riccati():
+                R = Rpri_ref[:, :]
+                Rp_ref[:, :] = R  # this step's prior, kept for the traj
+                CR = _mm_rows(Ck, R)                     # [ny, nx]
+                S = symmetrize(_mm_rows(CR, Ct)) + R2k
+                Schol = chol_lower(S)
+                Z = _tri_solve_scalar(Schol, CR, lower=True)
+                Kt = _tri_solve_scalar(Schol.T, Z, lower=False)
+                Zi = _tri_solve_scalar(Schol, eye_ny, lower=True)
+                Sinv = _tri_solve_scalar(Schol.T, Zi, lower=False)
+                Rpost = symmetrize(R - _mtm_rows(Kt, CR))
+                Rn = alpha * symmetrize(
+                    _mm_rows(_mm_rows(Ak, Rpost), At)) + R1k
+                conv = (jnp.max(jnp.abs(Rn - R))
+                        <= _FTOL * (1.0 + jnp.max(jnp.abs(Rn))))
+                KtAt = _mm_rows(Kt, At)                  # [ny, nx]
+                Kt_ref[:, :] = Kt
+                G_ref[:, :] = At - _mm_rows(Ct, KtAt)
+                KtAt_ref[:, :] = KtAt
+                Sinv_ref[:, :] = Sinv
+                Rpost_ref[:, :] = Rpost
+                S_ref[:, :] = S
+                meta_ref[0, 0] = 2.0 * jnp.sum(
+                    jnp.log(jnp.diagonal(Schol)))
+                meta_ref[0, 1] = jnp.where(conv, 1.0, 0.0)
+                Rpri_ref[:, :] = Rn
+
+            # ---- data chain (every step) ------------------------------
+            y2 = ext(yblk)                               # [1, ny]
+            yeff = y2 - ext(dblk) if has_d else y2
+            e2 = yeff - _mm_rows(x2, Ct)
+            q = jnp.sum(_mm_rows(e2, Sinv_ref[:, :]) * e2)
+            llk = -0.5 * (q + meta_ref[0, 0] + ny * _LOG2PI)
+
+            # x_{t+1} = x_t G + y_eff (KᵀAᵀ) + c_t  (one folded matvec)
+            xn2 = _mm_rows(x2, G_ref[:, :]) + _mm_rows(yeff,
+                                                       KtAt_ref[:, :])
+            if has_c:
+                xn2 = xn2 + ext(cblk)
+
+            if _want_traj:
+                # Rp_ref holds this step's prior while unfrozen and the
+                # last pre-freeze prior after (≤ _FTOL from the frozen
+                # fixed point)
+                xpost = x2 + _mm_rows(e2, Kt_ref[:, :])
+                _meta_acc(macc_ref, maskf, x2, Rp_ref[:, :], xpost,
+                          Rpost_ref[:, :], e2, S_ref[:, :],
+                          Kt_ref[:, :], nx, ny)
+
+            valid = t < T
+            return (
+                jnp.where(valid, xn2, x2),
+                ll2 + jnp.where(valid, llk, 0.0),
+            )
+
+        def block(b, carry):
+            yblk = ysb_ref[b]
+            cblk = csb_ref[b] if has_c else None
+            dblk = dsb_ref[b] if has_d else None
+            if _want_traj:
+                macc_ref[...] = jnp.zeros((nmeta, LB), jnp.float32)
+
+            def inner(s, c):
+                return step_in_block(yblk, cblk, dblk, b * LB + s, c)
+
+            # full inner unroll (the only supported factor) lets the
+            # VLIW scheduler overlap each step's ll branch with the next
+            # step's state chain; the traj path keeps unroll=1 (54
+            # accumulator stores per step would blow the program up)
+            out = jax.lax.fori_loop(0, LB, inner, carry,
+                                    unroll=1 if _want_traj else LB)
+            if _want_traj:
+                traj_ref[b] = macc_ref[...]
+            return out
+
+        xf2, ll2 = jax.lax.fori_loop(
+            0, TB, block,
+            (x0_ref[:, :], jnp.zeros((1, 1), jnp.float32)),
+        )
+        ll_ref[0, 0] = ll2[0, 0]
+        xout_ref[0, :] = xf2[0, :]
+        Rout_ref[:, :] = Rpri_ref[:, :]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, nx), jnp.float32),
+        jax.ShapeDtypeStruct((nx, nx), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    scratch = []
+    if _want_traj:
+        out_shape.append(jax.ShapeDtypeStruct((TB, nmeta, LB), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        scratch.append(pltpu.VMEM((nmeta, LB), jnp.float32))
+    # Riccati scratch: Rpri, Rp, Kt, G, KtAt, Sinv, Rpost, S in VMEM +
+    # the [logdet | conv] scalar pair in SMEM (scalar stores)
+    scratch.extend([
+        pltpu.VMEM((nx, nx), jnp.float32),
+        pltpu.VMEM((nx, nx), jnp.float32),
+        pltpu.VMEM((ny, nx), jnp.float32),
+        pltpu.VMEM((nx, nx), jnp.float32),
+        pltpu.VMEM((ny, nx), jnp.float32),
+        pltpu.VMEM((ny, ny), jnp.float32),
+        pltpu.VMEM((nx, nx), jnp.float32),
+        pltpu.VMEM((ny, ny), jnp.float32),
+        pltpu.SMEM((1, 2), jnp.float32),
+    ])
+    inputs = [ysb]
+    if has_c:
+        inputs.append(csb)
+    if has_d:
+        inputs.append(dsb)
+    inputs.extend([x0, P0, R1, R2, A, C])
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        interpret=pltpu.InterpretParams() if not _on_tpu() else False,
+    )(*inputs)
+    if _want_traj:
+        return _solution_from_meta(ekf, outs[3], us if nu > 0 else None,
+                                   ys, T, Tpad, nx, ny, outs[0][0, 0])
+    return outs[0][0, 0]
+
+
 def _ekf_supported(ekf, mm) -> bool:
     from ...models.measurement_models import EKFMeasurementModel
 
@@ -526,6 +912,23 @@ def ekf_loglik_fused(ekf, ys, us: Optional[jax.Array] = None,
         if _want_traj:
             return forward_trajectory(ekf, u_, y_, method="sequential")
         return xla_loglik(ekf, u_, y_, method="sequential")
+
+    # straight-line affine kernel when the Jacobians are provably
+    # constant (concrete probes, _const_affine_kf_params): no per-step
+    # callback/jacfwd evals and no tiny MXU dots — the sequential
+    # latency-floor path for KalmanFilter and affine-rerouted UKFs
+    ak = _const_affine_kf_params(ekf, mm, nx)
+    if ak is not None:
+        A_, C_ = ak
+        if us is None:
+            return route_ad(
+                lambda y_: _akf_kernel_run(ekf, A_, C_, y_, None,
+                                           _want_traj),
+                lambda y_: _xla(y_, None), ys)
+        return route_ad(
+            lambda y_, u_: _akf_kernel_run(ekf, A_, C_, y_, u_,
+                                           _want_traj),
+            _xla, ys, jnp.asarray(us, jnp.float32))
 
     if us is None:
         return route_ad(

@@ -311,3 +311,92 @@ class TestAffineReroute:
         eq = _affine_ekf_equivalent(ukf, ukf.measurement_model, 2)
         ll_ekf = float(ekf_loglik_fused(eq, ys, force_kernel=True))
         assert abs(ll_ukf - ll_ekf) < 1e-3 * max(1.0, abs(ll_ukf))
+
+
+class TestAffineKernel:
+    """The straight-line affine whole-scan KF kernel (round 5):
+    constant-Jacobian probe, folded steady-state recursion, drive
+    handling — pinned against the sequential oracle in interpret mode."""
+
+    def _model(self, nu=1):
+        A = jnp.array([[0.95, -0.09], [0.09, 0.95]], jnp.float32)
+        B = jnp.array([[0.1], [0.05]], jnp.float32)
+        C = jnp.array([[1.0, 0.2], [0.0, 1.0]], jnp.float32)
+        D = jnp.array([[0.03], [0.0]], jnp.float32)
+        R1 = 0.01 * jnp.eye(2, dtype=jnp.float32)
+        R2 = 0.1 * jnp.eye(2, dtype=jnp.float32)
+        return llpf.KalmanFilter(A, B if nu else None, C, D if nu else 0,
+                                 R1, R2, alpha=1.01 if nu else 1.0)
+
+    def test_probe_accepts_constant_jacobians(self):
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.ukf_scan import (
+            _const_affine_kf_params)
+
+        kf = self._model()
+        ekf = kf._fused_delegate()
+        ak = _const_affine_kf_params(ekf, ekf.measurement_model, 2)
+        assert ak is not None
+        assert np.allclose(ak[0], kf.A) and np.allclose(ak[1], kf.C)
+
+    def test_probe_rejects_nonlinear_and_time_varying(self):
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.ukf_scan import (
+            _const_affine_kf_params)
+
+        A = jnp.array([[0.9, 0.1], [0.0, 0.9]], jnp.float32)
+        C = jnp.eye(2, dtype=jnp.float32)
+        R1 = 0.01 * jnp.eye(2, dtype=jnp.float32)
+        R2 = 0.1 * jnp.eye(2, dtype=jnp.float32)
+        nl = llpf.make_ekf(lambda x, u, p, t: jnp.tanh(A @ x),
+                           lambda x, u, p, t: C @ x, R1, R2, ny=2, nu=0)
+        assert _const_affine_kf_params(nl, nl.measurement_model, 2) is None
+        # affine in x at every t but with a t-VARYING Jacobian
+        tv = llpf.make_ekf(lambda x, u, p, t: (1.0 + 0.01 * t) * (A @ x),
+                           lambda x, u, p, t: C @ x, R1, R2, ny=2, nu=0)
+        assert _const_affine_kf_params(tv, tv.measurement_model, 2) is None
+
+    def test_akf_matches_sequential_with_drives(self):
+        from lowlevelparticlefilters_jl_tpu.ops.pallas.ukf_scan import (
+            ekf_loglik_fused, ekf_forward_trajectory_fused)
+
+        kf = self._model()
+        T = 200
+        u = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (T, 1),
+                                    jnp.float32)
+        _, _, y = llpf.simulate(kf, u, key=jax.random.PRNGKey(0))
+        ekf = kf._fused_delegate()
+        ll_k = float(ekf_loglik_fused(ekf, y, u, force_kernel=True))
+        ll_x = float(llpf.loglik(kf, u, y, method="sequential"))
+        assert abs(ll_k - ll_x) < 1e-3 * max(1.0, abs(ll_x))
+        sol_k = ekf_forward_trajectory_fused(ekf, u, y, force_kernel=True)
+        sol_x = llpf.forward_trajectory(kf, u, y, method="sequential")
+        for name in ("x", "xt", "R", "Rt", "e", "S", "K"):
+            err = float(jnp.max(jnp.abs(
+                getattr(sol_k, name) - getattr(sol_x, name))))
+            assert err < 1e-3, (name, err)
+
+    def test_akf_under_jit_trace(self):
+        """The constant-Jacobian probe must survive an ambient jit trace
+        (compile-time-eval escape; omnistaging turned every probe array
+        into a tracer before round 5's fix)."""
+        from lowlevelparticlefilters_jl_tpu.ops.pallas import ukf_scan as uk
+
+        kf = self._model(nu=0)
+        ekf = kf._fused_delegate()
+        hits = {"akf": 0}
+        orig = uk._akf_kernel_run
+
+        def spy(*a, **k):
+            hits["akf"] += 1
+            return orig(*a, **k)
+
+        uk._akf_kernel_run = spy
+        try:
+            y = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (64, 2),
+                                        jnp.float32)
+            ll = float(jax.jit(lambda y_: uk.ekf_loglik_fused(
+                ekf, y_, force_kernel=True))(y))
+        finally:
+            uk._akf_kernel_run = orig
+        assert hits["akf"] == 1
+        ll_x = float(llpf.loglik(kf, None, y, method="sequential"))
+        assert abs(ll - ll_x) < 1e-3 * max(1.0, abs(ll_x))
