@@ -403,10 +403,17 @@ def bench_ukf(T=50_000):
     # (~25% underreport)
     ys8 = jax.random.normal(key, (8 * T, 2), dtype=jnp.float32)
 
-    # the plain verb (auto-routed: affine-detected -> EKF whole-scan
-    # kernel on TPU) — what a migrating user gets
-    runr = jax.jit(lambda ys: llpf.loglik(ukf, None, ys))
-    routed_rate = 7 * T / max(_timeit(runr, ys8) - _timeit(runr, ys), 1e-3)
+    # the plain verb — what a migrating user gets.  Since round 5 the
+    # affine-detected UKF auto-routes to the temporal-parallel plain-KF
+    # reduction (routing._affine_equiv_kf): the rate is parallel-KF
+    # class, so it needs the wide-spread _tslope (the old flat 8x
+    # two-point form went jitter-negative at these speeds)
+    def make_routed(Tn):
+        ysn = jax.random.normal(key, (Tn, 2), dtype=jnp.float32)
+        runr = jax.jit(lambda ys: llpf.loglik(ukf, None, ys))
+        return runr, (ysn,), Tn
+
+    routed_rate, _ = _tslope(make_routed, 100_000, 32 * 100_000)
 
     # whole-scan pallas kernel (ops/pallas/ukf_scan.py)
     runf = jax.jit(lambda ys: llpf.ukf_loglik_fused(ukf, ys))

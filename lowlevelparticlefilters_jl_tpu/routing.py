@@ -153,6 +153,69 @@ def _want_fused(method: str) -> bool:
     return method == "fused" or (method == "auto" and _on_tpu())
 
 
+def _affine_equiv_kf(f, u, y):
+    """Exact plain-KF reduction of an affine UKF/EKF for the temporal-
+    parallel path: constant-Jacobian concrete probes
+    (ops/pallas/ukf_scan.py::_const_affine_kf_params) give (A, C); the
+    affine callback offsets become drive sequences fed through B = I and
+    pre-subtracted from y.  The UT/EKF recursions coincide with the
+    plain KF exactly on affine models (ukf.jl:468-541 is exact there),
+    so ``parallel_forward_trajectory`` on the reduction reproduces the
+    sequential UKF/EKF to f32 noise at O(log T) depth.  Returns
+    ``(kf_eq, cs, y_eff)`` or None when out of scope."""
+    from .filters.ekf import ExtendedKalmanFilter
+    from .filters.kalman import KalmanFilter
+    from .filters.ukf import UnscentedKalmanFilter
+    from .ops.pallas.ukf_scan import (
+        _affine_ekf_equivalent, _const_affine_kf_params, _ekf_supported,
+        _supported)
+
+    if type(f) is UnscentedKalmanFilter:
+        if not _supported(f, f.measurement_model):
+            return None
+        ekf = _affine_ekf_equivalent(f, f.measurement_model, f.nx)
+        if ekf is None:
+            return None
+    elif type(f) is ExtendedKalmanFilter:
+        ekf = f
+        if not _ekf_supported(ekf, ekf.measurement_model):
+            return None
+    else:
+        return None
+    if float(getattr(ekf, "alpha", 1.0)) != 1.0:
+        return None
+    mm = ekf.measurement_model
+    nx, ny = ekf.nx, ekf.ny
+    if nx > 8 or ny > 8:
+        return None
+    ak = _const_affine_kf_params(ekf, mm, nx)
+    if ak is None:
+        return None
+    A, C = ak
+    y = jnp.asarray(y, jnp.float32)
+    T = y.shape[0]
+    Ts = float(ekf.Ts)
+    p_ = ekf.p
+    tvec = jnp.arange(T, dtype=jnp.float32) * Ts
+    zx = jnp.zeros((nx,), jnp.float32)
+    nu = 0 if u is None else jnp.shape(u)[1]
+    if nu > 0:
+        u32 = jnp.asarray(u, jnp.float32)
+        cs = jax.vmap(lambda u_, t_: ekf.dynamics(zx, u_, p_, t_))(
+            u32, tvec)
+        ds = jax.vmap(lambda u_, t_: mm.measurement(zx, u_, p_, t_))(
+            u32, tvec)
+    else:
+        zu = jnp.zeros((0,), jnp.float32)
+        cs = jax.vmap(lambda t_: ekf.dynamics(zx, zu, p_, t_))(tvec)
+        ds = jax.vmap(lambda t_: mm.measurement(zx, zu, p_, t_))(tvec)
+    kf_eq = KalmanFilter(
+        A, jnp.eye(nx, dtype=jnp.float32), C, 0,
+        jnp.asarray(ekf.R1, jnp.float32), jnp.asarray(mm.R2, jnp.float32),
+        d0=ekf.d0, Ts=ekf.Ts)
+    return kf_eq, cs, y - ds
+
+
 # ---------------------------------------------------------------------------
 # loglik routing
 # ---------------------------------------------------------------------------
@@ -209,21 +272,36 @@ def route_kalman_loglik(f, u, y, p, method: str, kwargs: dict):
             return ll
         _record("loglik", "xla_scan")
         return None
-    if p is None and _want_fused(method):
-        if type(f) is UnscentedKalmanFilter:
-            from .ops.pallas.ukf_scan import _supported, ukf_loglik_fused
+    if p is None:
+        # affine-detected UKF/EKF on long trajectories: reduce to the
+        # exactly-equivalent plain KF and take the O(log T) temporal-
+        # parallel path (~200x the sequential whole-scan kernel on v5e)
+        if _want_parallel(method, T) and isinstance(
+                u, (jax.Array, type(None))):
+            eq = _affine_equiv_kf(f, u, y)
+            if eq is not None:
+                from .parallel.temporal import parallel_forward_trajectory
 
-            if _supported(f, f.measurement_model):
-                ll = ukf_loglik_fused(f, jnp.asarray(y), u)
-                _record("loglik", "pallas_fused_scan")
-                return ll
-        elif type(f) is ExtendedKalmanFilter:
-            from .ops.pallas.ukf_scan import _ekf_supported, ekf_loglik_fused
+                kf_eq, cs, y_eff = eq
+                _record("loglik", "temporal_parallel")
+                return parallel_forward_trajectory(kf_eq, cs, y_eff).ll
+        if _want_fused(method):
+            if type(f) is UnscentedKalmanFilter:
+                from .ops.pallas.ukf_scan import (
+                    _supported, ukf_loglik_fused)
 
-            if _ekf_supported(f, f.measurement_model):
-                ll = ekf_loglik_fused(f, jnp.asarray(y), u)
-                _record("loglik", "pallas_fused_scan")
-                return ll
+                if _supported(f, f.measurement_model):
+                    ll = ukf_loglik_fused(f, jnp.asarray(y), u)
+                    _record("loglik", "pallas_fused_scan")
+                    return ll
+            elif type(f) is ExtendedKalmanFilter:
+                from .ops.pallas.ukf_scan import (
+                    _ekf_supported, ekf_loglik_fused)
+
+                if _ekf_supported(f, f.measurement_model):
+                    ll = ekf_loglik_fused(f, jnp.asarray(y), u)
+                    _record("loglik", "pallas_fused_scan")
+                    return ll
     _record("loglik", "xla_scan")
     return None
 
@@ -263,23 +341,44 @@ def route_forward_trajectory(f, u, y, p, method: str, has_callbacks: bool,
             return sol
         _record("forward_trajectory", "xla_scan")
         return None
-    if p is None and _want_fused(method):
-        if type(f) is UnscentedKalmanFilter:
-            from .ops.pallas.ukf_scan import (
-                _supported, ukf_forward_trajectory_fused)
+    if p is None:
+        # affine-detected UKF/EKF: exact plain-KF reduction through the
+        # O(log T) temporal-parallel solution (see route_kalman_loglik);
+        # the container keeps the CALLER's u/y — innovations e = y-Cx-d
+        # match the sequential UKF/EKF convention by construction
+        if _want_parallel(method, T) and isinstance(
+                u, (jax.Array, type(None))):
+            eq = _affine_equiv_kf(f, u, y)
+            if eq is not None:
+                from .parallel.temporal import parallel_forward_trajectory
+                from .trajectory import _as_u_seq
 
-            if _supported(f, f.measurement_model):
-                sol = ukf_forward_trajectory_fused(f, u, jnp.asarray(y))
-                _record("forward_trajectory", "pallas_fused_scan")
+                kf_eq, cs, y_eff = eq
+                sol = parallel_forward_trajectory(kf_eq, cs, y_eff)
+                y32 = jnp.asarray(y, jnp.float32)
+                sol = sol.replace(
+                    u=_as_u_seq(u, y32.shape[0], y32.dtype), y=y32)
+                _record("forward_trajectory", "temporal_parallel")
                 return sol
-        elif type(f) is ExtendedKalmanFilter:
-            from .ops.pallas.ukf_scan import (
-                _ekf_supported, ekf_forward_trajectory_fused)
+        if _want_fused(method):
+            if type(f) is UnscentedKalmanFilter:
+                from .ops.pallas.ukf_scan import (
+                    _supported, ukf_forward_trajectory_fused)
 
-            if _ekf_supported(f, f.measurement_model):
-                sol = ekf_forward_trajectory_fused(f, u, jnp.asarray(y))
-                _record("forward_trajectory", "pallas_fused_scan")
-                return sol
+                if _supported(f, f.measurement_model):
+                    sol = ukf_forward_trajectory_fused(f, u,
+                                                       jnp.asarray(y))
+                    _record("forward_trajectory", "pallas_fused_scan")
+                    return sol
+            elif type(f) is ExtendedKalmanFilter:
+                from .ops.pallas.ukf_scan import (
+                    _ekf_supported, ekf_forward_trajectory_fused)
+
+                if _ekf_supported(f, f.measurement_model):
+                    sol = ekf_forward_trajectory_fused(f, u,
+                                                       jnp.asarray(y))
+                    _record("forward_trajectory", "pallas_fused_scan")
+                    return sol
     _record("forward_trajectory", "xla_scan")
     return None
 

@@ -262,3 +262,43 @@ def test_manifold_ukf_routes_to_sequential(data, monkeypatch):
     ll = llpf.loglik(ukf, u, y)
     assert llpf.last_route("loglik") == "xla_scan"
     assert jnp.isfinite(ll)
+
+
+def test_affine_ukf_routes_to_temporal_parallel(monkeypatch):
+    """Affine-detected UKF/EKF with constant Jacobians reduce to the
+    exact plain-KF and take the temporal-parallel path (round 5); the
+    values match the sequential scan and nonlinear models stay on the
+    fused kernel."""
+    monkeypatch.setattr(routing, "_on_tpu", lambda: True)
+    dt = 0.1
+    Acv = jnp.array([[1, 0, dt, 0], [0, 1, 0, dt], [0, 0, 1, 0],
+                     [0, 0, 0, 1]], jnp.float32)
+    Ccv = jnp.array([[1, 0, 0, 0], [0, 1, 0, 0]], jnp.float32)
+    R1cv = 0.1 * jnp.eye(4, dtype=jnp.float32)
+    R2cv = 1.0 * jnp.eye(2, dtype=jnp.float32)
+    ukf = llpf.make_ukf(lambda x, u_, p, t: Acv @ x,
+                        lambda x, u_, p, t: Ccv @ x, R1cv, R2cv,
+                        ny=2, nu=0)
+    ys = jax.random.normal(jax.random.PRNGKey(0), (512, 2), jnp.float32)
+    ll = llpf.loglik(ukf, None, ys)
+    assert llpf.last_route("loglik") == "temporal_parallel"
+    ll_seq = llpf.loglik(ukf, None, ys, method="sequential")
+    assert jnp.allclose(ll, ll_seq, rtol=1e-4)
+
+    sol = llpf.forward_trajectory(ukf, None, ys)
+    assert llpf.last_route("forward_trajectory") == "temporal_parallel"
+    sol_seq = llpf.forward_trajectory(ukf, None, ys, method="sequential")
+    assert float(jnp.max(jnp.abs(sol.xt - sol_seq.xt))) < 1e-3
+    assert float(jnp.max(jnp.abs(sol.e - sol_seq.e))) < 1e-3
+    assert sol.y.shape == ys.shape and sol.u.shape[0] == ys.shape[0]
+
+    # short trajectories stay below the parallel threshold
+    _ = llpf.loglik(ukf, None, ys[:64])
+    assert llpf.last_route("loglik") == "pallas_fused_scan"
+
+    # nonlinear callbacks must not take the reduction
+    nl = llpf.make_ukf(lambda x, u_, p, t: jnp.tanh(Acv @ x),
+                       lambda x, u_, p, t: Ccv @ x, R1cv, R2cv,
+                       ny=2, nu=0)
+    _ = llpf.loglik(nl, None, ys)
+    assert llpf.last_route("loglik") == "pallas_fused_scan"
