@@ -649,9 +649,11 @@ def bench_parallel_kf(T=100_000):
         usn = 0.3 * jnp.ones((Tn, 1), jnp.float32)
         return par, (usn, ysn), Tn
 
-    # 32x spread: at ~2 ns/step the marginal time must clear the ~1 ms
-    # relay jitter floor (4x left only 0.6 ms and reported 5x slow)
-    par_rate, _ = _tslope(make, T, 32 * T)
+    # wide spread: at ~1.6 ns/step the marginal time must clear the
+    # ~1 ms relay jitter floor with margin (r4's 32x-from-100k spread
+    # left ~5 ms marginal and sampled 0.3-4.2 ns run-to-run; 2T..64T
+    # doubles the marginal window)
+    par_rate, _ = _tslope(make, 2 * T, 64 * T)
     return dt_seq / dt_par, dt_seq, dt_par, par_rate
 
 

@@ -138,22 +138,104 @@ def _solution_from_meta(f, traj, u, ys, T, Tpad, nx, ny, ll):
         ll=ll, e=e, K=K, S=S, extra=None, t=_time_vector(f, T), ok=ok)
 
 
+# primitives the Mosaic TPU lowering handles inside the whole-scan
+# kernels' step bodies — the admission list for user manifold hooks.
+# Stricter than pf_scan's _EW_OK: atan2 has NO Mosaic lowering rule
+# (probed on v5e round 5 — interpret mode accepts it, hardware raises
+# NotImplementedError), and asin/acos/atan/erf are untested, so they
+# fail closed to the XLA scan.
+_HOOK_OK = frozenset([
+    "add", "sub", "neg", "add_any", "mul", "div", "rem", "pow",
+    "integer_pow", "sqrt", "rsqrt", "exp", "log", "expm1", "log1p",
+    "sin", "cos", "tanh", "logistic", "abs", "sign", "floor", "ceil",
+    "round", "max", "min", "clamp", "select_n", "eq", "ne", "lt", "le",
+    "gt", "ge", "and", "or", "xor", "not", "is_finite", "square",
+    "broadcast_in_dim", "reshape", "transpose", "squeeze", "slice",
+    "concatenate", "convert_element_type", "expand_dims", "copy",
+    "reduce_sum", "reduce_max", "reduce_min", "reduce_prod",
+    "stop_gradient", "iota",
+])
+
+
+def _jaxpr_lowerable(jaxpr) -> bool:
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name in _HOOK_OK:
+            continue
+        inner = eqn.params.get("jaxpr", None) or eqn.params.get(
+            "call_jaxpr", None)
+        if inner is not None and name in ("jit", "pjit",
+                                          "custom_jvp_call",
+                                          "custom_vjp_call",
+                                          "custom_vjp_call_jaxpr",
+                                          "closed_call"):
+            if _jaxpr_lowerable(getattr(inner, "jaxpr", inner)):
+                continue
+        return False
+    return True
+
+
+def _hook_lowerable(fn, *args_ex) -> bool:
+    """Static check that a manifold hook's jaxpr only uses primitives
+    the Mosaic kernel lowering supports (fails closed)."""
+    try:
+        closed = jax.make_jaxpr(fn)(*args_ex)
+    except Exception:
+        return False
+    return _jaxpr_lowerable(closed.jaxpr)
+
+
 def _supported(ukf, mm) -> bool:
+    """Fused-UKF kernel admission.  Custom ``innovation``/``mean``/
+    ``state_mean`` (manifold/angle filters, ukf.jl:563-601) ARE admitted
+    since round 5 — they trace into the kernel as per-step elementwise
+    epilogues, gated on a Mosaic-lowerability jaxpr walk; custom
+    covariance reductions (``cov``/``cross_cov``/``state_cov``) change
+    the UT structure and stay on the XLA scan.  The ``state_mean``/
+    ``state_cov`` checks also close a round-4 hole where such filters
+    silently ran the kernel with DEFAULT hooks."""
     from ...models.measurement_models import UKFMeasurementModel
 
-    return (
+    base = (
         not getattr(ukf, "augmented_dynamics", False)
         and isinstance(mm, UKFMeasurementModel)
         and not mm.augmented
-        and mm.innovation is None
-        and mm.mean is None
         and mm.cov is None
         and mm.cross_cov is None
+        and getattr(ukf, "state_cov", None) is None
         and isinstance(getattr(ukf, "R1"), jax.Array)
         and isinstance(mm.R2, jax.Array)
         and getattr(ukf, "cholesky_fn", None) is None
         and getattr(ukf, "reject", None) is None
     )
+    if not base:
+        return False
+    if _default_hooks(ukf, mm):
+        return True
+    nx, ny = ukf.nx, mm.ny
+    NSIG = 2 * nx + 1
+    W = ukf_weights(getattr(ukf, "weight_params", mm.weight_params), nx)
+    y_ex = jnp.zeros((ny,), jnp.float32)
+    if mm.innovation is not None and not _hook_lowerable(
+            mm.innovation, y_ex, y_ex):
+        return False
+    if mm.mean is not None and not _hook_lowerable(
+            lambda ys_: mm.mean(ys_, W),
+            jnp.zeros((NSIG, ny), jnp.float32)):
+        return False
+    smean = getattr(ukf, "state_mean", None)
+    if smean is not None and not _hook_lowerable(
+            lambda xs_: smean(xs_, W), jnp.zeros((NSIG, nx), jnp.float32)):
+        return False
+    return True
+
+
+def _default_hooks(ukf, mm) -> bool:
+    """True when the UT mean/innovation hooks are all default — the
+    precondition for the affine→EKF/KF reroutes (the EKF recursion only
+    coincides with the UKF for the STANDARD vector-space UT)."""
+    return (mm.innovation is None and mm.mean is None
+            and getattr(ukf, "state_mean", None) is None)
 
 
 def _affine_ekf_equivalent(ukf, mm, nx):
@@ -164,6 +246,8 @@ def _affine_ekf_equivalent(ukf, mm, nx):
     from ...filters.ekf import make_ekf
     from ...parallel.temporal import _callback_affine_in_x
 
+    if not _default_hooks(ukf, mm):
+        return None  # manifold UT ≠ EKF even on affine callbacks
     try:
         nu = max(int(getattr(ukf, "nu", 0)), 0)
         u0 = jnp.zeros((nu,), jnp.float32)
@@ -341,20 +425,66 @@ def _ukf_kernel_run(ukf, ys, us, _want_traj: bool):
 
     f_flat, f_consts = _flatten(f)
     g_flat, g_consts = _flatten(g)
-    nf, ng = len(f_consts), len(g_consts)
+
+    def _flatten_hook(fn, *args_ex):
+        """Hook flattener for the UT mean/innovation overrides
+        (manifold filters, ukf.jl:563-601) — the same closure-convert
+        hoisting as ``_flatten``, generic in the example signature (the
+        hooks do not take u/p/t)."""
+        cc, tracer_consts = jax.closure_convert(fn, *args_ex)
+        closed = jax.make_jaxpr(cc)(*args_ex, *tracer_consts)
+        lits = [jnp.asarray(c) for c in closed.consts]
+        consts = [*lits, *tracer_consts]
+        n_lit = len(lits)
+        shapes = [jnp.shape(c) for c in consts]
+        consts = [jnp.asarray(c).reshape(1, 1) if jnp.ndim(c) == 0
+                  else jnp.asarray(c) for c in consts]
+        na = len(args_ex)
+
+        def flat(*args_cs):
+            args = args_cs[:na]
+            cs = [c.reshape(s) if s == () else c
+                  for c, s in zip(args_cs[na:], shapes)]
+            (out,) = jax.core.eval_jaxpr(
+                closed.jaxpr, cs[:n_lit], *args, *cs[n_lit:])
+            return out
+
+        return flat, consts
+
+    NSIG = 2 * nx + 1
+    mean_fn = mm.mean
+    inn_fn = mm.innovation
+    smean_fn = getattr(ukf, "state_mean", None)
+    ys_ex = jnp.zeros((NSIG, ny), jnp.float32)
+    xs_ex = jnp.zeros((NSIG, nx), jnp.float32)
+    y_ex = jnp.zeros((ny,), jnp.float32)
+    m_flat, m_consts = (_flatten_hook(lambda ys_: mean_fn(ys_, W), ys_ex)
+                        if mean_fn is not None else (None, []))
+    i_flat, i_consts = (_flatten_hook(inn_fn, y_ex, y_ex)
+                        if inn_fn is not None else (None, []))
+    s_flat, s_consts = (
+        _flatten_hook(lambda xs_: smean_fn(xs_, W), xs_ex)
+        if smean_fn is not None else (None, []))
+    counts = [len(f_consts), len(g_consts), len(m_consts),
+              len(i_consts), len(s_consts)]
 
     nmeta = _n_meta(nx, ny)
 
     def kernel(ysb_ref, usb_ref, x0_ref, P0_ref, R1_ref, R2_ref,
                *rest):
-        const_refs = rest[: nf + ng]
+        ncs = sum(counts)
+        const_refs = rest[:ncs]
         if _want_traj:
             (ll_ref, xout_ref, Rout_ref, traj_ref,
-             macc_ref) = rest[nf + ng:]
+             macc_ref) = rest[ncs:]
         else:
-            ll_ref, xout_ref, Rout_ref = rest[nf + ng:]
-        fcs = [c[:] for c in const_refs[:nf]]
-        gcs = [c[:] for c in const_refs[nf:]]
+            ll_ref, xout_ref, Rout_ref = rest[ncs:]
+        o = 0
+        groups = []
+        for c in counts:
+            groups.append([r[:] for r in const_refs[o:o + c]])
+            o += c
+        fcs, gcs, mcs, ics, scs = groups
         R1k = R1_ref[:, :]
         R2k = R2_ref[:, :]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LB), 1)
@@ -387,11 +517,17 @@ def _ukf_kernel_run(ukf, ys, us, _want_traj: bool):
             # ---- correct (ukf.jl:633-671) ----------------------------
             xs = _sigma(x2, R)
             ysig = jax.vmap(lambda sp: g_flat(sp, u, tk, *gcs))(xs)
-            ym2 = wrow @ ysig  # [1, ny]
+            # custom UT measurement mean / innovation (manifold hooks)
+            # trace in as elementwise epilogues; the covariance
+            # deviations keep the standard subtraction, matching the
+            # XLA-path semantics (measurement_models.py::correct)
+            ym2 = (m_flat(ysig, *mcs)[None, :] if m_flat is not None
+                   else wrow @ ysig)  # [1, ny]
             S = symmetrize(_wcov(ysig, ym2, ysig, ym2, W)) + R2k
             Cxy = _wcov(xs, x2, ysig, ym2, W)
             Schol = chol_lower(S)
-            e2 = y2 - ym2  # [1, ny]
+            e2 = (i_flat(y2[0], ym2[0], *ics)[None, :]
+                  if i_flat is not None else y2 - ym2)  # [1, ny]
             # K = Cxy S^{-1} via two unrolled triangular solves
             Z = _tri_solve_scalar(Schol, Cxy.T, lower=True)
             Kt = _tri_solve_scalar(Schol.T, Z, lower=False)  # [ny, nx]
@@ -411,7 +547,8 @@ def _ukf_kernel_run(ukf, ys, us, _want_traj: bool):
             # ---- predict (ukf.jl:468-541) ----------------------------
             xs2 = _sigma(x2, R)
             prop = jax.vmap(lambda sp: f_flat(sp, u, tk, *fcs))(xs2)
-            xn2 = wrow @ prop  # [1, nx]
+            xn2 = (s_flat(prop, *scs)[None, :] if s_flat is not None
+                   else wrow @ prop)  # [1, nx]
             Rn = symmetrize(_wcov(prop, xn2, prop, xn2, W)) + R1k
             # freeze state/ll on padding steps beyond the true T
             valid = t < T
@@ -446,7 +583,8 @@ def _ukf_kernel_run(ukf, ys, us, _want_traj: bool):
 
     consts = [jnp.asarray(c, jnp.float32) if jnp.issubdtype(
         jnp.asarray(c).dtype, jnp.floating) else jnp.asarray(c)
-        for c in [*f_consts, *g_consts]]
+        for c in [*f_consts, *g_consts, *m_consts, *i_consts,
+                  *s_consts]]
     out_shape = [
         jax.ShapeDtypeStruct((1, 1), jnp.float32),
         jax.ShapeDtypeStruct((1, nx), jnp.float32),

@@ -167,11 +167,12 @@ def _affine_equiv_kf(f, u, y):
     from .filters.kalman import KalmanFilter
     from .filters.ukf import UnscentedKalmanFilter
     from .ops.pallas.ukf_scan import (
-        _affine_ekf_equivalent, _const_affine_kf_params, _ekf_supported,
-        _supported)
+        _affine_ekf_equivalent, _const_affine_kf_params, _default_hooks,
+        _ekf_supported, _supported)
 
     if type(f) is UnscentedKalmanFilter:
-        if not _supported(f, f.measurement_model):
+        if not _supported(f, f.measurement_model) or not _default_hooks(
+                f, f.measurement_model):
             return None
         ekf = _affine_ekf_equivalent(f, f.measurement_model, f.nx)
         if ekf is None:

@@ -247,10 +247,12 @@ def test_solution_route_provenance(kf, data):
     assert psol.route == "xla_scan"
 
 
-def test_manifold_ukf_routes_to_sequential(data, monkeypatch):
+def test_manifold_ukf_routes_to_fused_kernel(data, monkeypatch):
     """Custom innovation/mean hooks (manifold filters, ukf.jl:563-601)
-    are OUTSIDE the fused-kernel scope: they must fall back to the XLA
-    scan even on TPU (the routing matrix in docs/performance.md §5b)."""
+    are INSIDE the fused-kernel scope since round 5 (traced in as
+    elementwise epilogues); custom covariance reductions stay on the
+    XLA scan, and manifold hooks must NOT take the affine→KF reduction
+    (the EKF equivalence only holds for the vector-space UT)."""
     monkeypatch.setattr(routing, "_on_tpu", lambda: True)
     u, y = data
     mm = llpf.UKFMeasurementModel(
@@ -260,8 +262,18 @@ def test_manifold_ukf_routes_to_sequential(data, monkeypatch):
         dynamics=lambda x, u_, p, t: A @ x + B @ u_,
         measurement_model=mm, R1=R1, nu=1)
     ll = llpf.loglik(ukf, u, y)
-    assert llpf.last_route("loglik") == "xla_scan"
+    assert llpf.last_route("loglik") == "pallas_fused_scan"
     assert jnp.isfinite(ll)
+
+    # custom covariance reduction: XLA scan
+    mm2 = llpf.UKFMeasurementModel(
+        measurement=lambda x, u_, p, t: x, R2=R2, ny=2,
+        cov=lambda ys, ym, W: jnp.eye(2, dtype=jnp.float32))
+    ukf2 = llpf.UnscentedKalmanFilter(
+        dynamics=lambda x, u_, p, t: A @ x + B @ u_,
+        measurement_model=mm2, R1=R1, nu=1)
+    _ = llpf.loglik(ukf2, u, y)
+    assert llpf.last_route("loglik") == "xla_scan"
 
 
 def test_affine_ukf_routes_to_temporal_parallel(monkeypatch):
