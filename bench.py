@@ -183,6 +183,60 @@ def certify_kernels():
         checks["assoc_scan_nx6_vs_oracle"] = False
         checks["assoc_scan_nx6_error"] = repr(e)[:160]
 
+    # round-5 affine whole-scan KF kernel (steady-state Riccati freeze)
+    # vs the HIGHEST-precision sequential oracle on the CV model
+    try:
+        dt_s = 0.1
+        Acv = jnp.array([[1, 0, dt_s, 0], [0, 1, 0, dt_s], [0, 0, 1, 0],
+                         [0, 0, 0, 1]], jnp.float32)
+        Ccv = jnp.array([[1, 0, 0, 0], [0, 1, 0, 0]], jnp.float32)
+        ukf_c = llpf.make_ukf(
+            lambda x, u, p, t: Acv @ x, lambda x, u, p, t: Ccv @ x,
+            0.1 * jnp.eye(4, dtype=jnp.float32),
+            1.0 * jnp.eye(2, dtype=jnp.float32), ny=2, nu=0)
+        ys_c = jax.random.normal(jax.random.PRNGKey(5), (4096, 2),
+                                 jnp.float32)
+        ll_k = float(jax.device_get(jax.jit(
+            lambda y: llpf.ukf_loglik_fused(ukf_c, y))(ys_c)))
+        with jax.default_matmul_precision("highest"):
+            ll_o = float(jax.device_get(jax.jit(lambda y: llpf.loglik(
+                ukf_c, None, y, method="sequential"))(ys_c)))
+        checks["akf_kernel_vs_oracle"] = bool(
+            abs(ll_k - ll_o) < 1e-3 * max(1.0, abs(ll_o)))
+    except Exception as e:
+        checks["akf_kernel_vs_oracle"] = False
+        checks["akf_kernel_error"] = repr(e)[:160]
+
+    # round-5 manifold hooks (custom innovation/mean) inside the fused
+    # UKF kernel, angle-wrap filter vs the HIGHEST-precision oracle
+    try:
+        def _wrapa(a):
+            return jnp.mod(a + jnp.pi, 2 * jnp.pi) - jnp.pi
+
+        mm_a = llpf.UKFMeasurementModel(
+            measurement=lambda x, u, p, t: x[:1],
+            R2=0.05 * jnp.eye(1, dtype=jnp.float32), ny=1,
+            innovation=lambda y_, yh: _wrapa(y_ - yh))
+        ukf_a = llpf.UnscentedKalmanFilter(
+            dynamics=lambda x, u, p, t: jnp.array(
+                [_wrapa(x[0] + 0.1 * x[1]), 0.98 * x[1]], x.dtype),
+            measurement_model=mm_a,
+            R1=jnp.diag(jnp.array([0.01, 0.001], jnp.float32)), nu=0)
+        angs = jnp.cumsum(0.12 * jnp.ones((4096,))) - 2.0
+        ys_a = jnp.asarray(
+            _wrapa(angs)[:, None] + 0.1 * jax.random.normal(
+                jax.random.PRNGKey(6), (4096, 1)), jnp.float32)
+        ll_k = float(jax.device_get(jax.jit(
+            lambda y: llpf.ukf_loglik_fused(ukf_a, y))(ys_a)))
+        with jax.default_matmul_precision("highest"):
+            ll_o = float(jax.device_get(jax.jit(lambda y: llpf.loglik(
+                ukf_a, None, y, method="sequential"))(ys_a)))
+        checks["manifold_hooks_vs_oracle"] = bool(
+            abs(ll_k - ll_o) < 1e-3 * max(1.0, abs(ll_o)))
+    except Exception as e:
+        checks["manifold_hooks_vs_oracle"] = False
+        checks["manifold_hooks_error"] = repr(e)[:160]
+
     checks["kernels_verified"] = all(
         v for k, v in checks.items() if isinstance(v, bool))
     return checks
@@ -853,6 +907,7 @@ def main():
         "pf_fused_steps_per_s", "pf_always_resample_best_vs_baseline",
         "pf_fused_nonlinear_vs_baseline", "pf_fused_N1e6_steps_per_s",
         "kf_bank1024_passes_per_s", "ukf_fused_vs_julia_baseline",
+        "ukf_routed_verb_steps_per_s_T50k",
         "ukf_bank8192_affine_routed_vs_julia_baseline",
         "parallel_kf_speedup_T1e5", "parallel_ukf_vs_julia_baseline",
         "ffbs_weight_evals_per_s_MN1000_T500", "assoc_scan_ns_per_step",
