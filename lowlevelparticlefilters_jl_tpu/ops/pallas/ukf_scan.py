@@ -83,9 +83,16 @@ def _meta_acc(macc_ref, maskf, xp2, Rp, x2, R, e2, S, Kt, nx, ny):
     """Accumulate one step's solution row into the block accumulator at
     its one-hot lane slot, laid out as
     ``[x_pred | R_pred(row-major) | x_filt | R_filt | e | S | K]``.
-    Writes are per-field static-offset slices — a single packed
-    [nmeta, 1] concat of mixed-size columns fails Mosaic's layout pass
-    on hardware (probed on v5e: unaligned sublane concat to 52x1).
+    Writes are per-field static-offset slice RMWs (~2nx+ny+3 of them)
+    and make the solution-returning kernels ~12× slower than their
+    loglik forms — but they are the only form Mosaic's layout pass
+    accepts: a mixed-size [nmeta, 1] concat fails (probed v5e round 3)
+    AND a uniform-width [k, 1] column concat fails too ("result/input
+    offset mismatch on non-concat dimension" — the sliced columns carry
+    differing sublane/lane vpad offsets; probed v5e round 5).  Affine
+    models bypass this path entirely via the temporal-parallel
+    reduction (routing._affine_equiv_kf); for nonlinear models the
+    fused traj kernel ≈ the XLA scan, so this is not a routing loss.
     Everything stays rank-2; ``Kt`` is the transposed gain [ny, nx], so
     K's row i is ``Kt[:, i]``."""
     o = 0
