@@ -841,6 +841,8 @@ def main():
         "kf_bank8192_ll_matches_vmap": bool(kf8_ll_ok),
         "ukf_steps_per_s_T50k": round(ukf_rate, 1),
         "ukf_routed_verb_steps_per_s_T50k": round(ukf_routed_rate, 1),
+        "ukf_routed_verb_vs_julia_baseline": round(
+            ukf_routed_rate / BASELINE_UKF_STEPS_PER_S, 1),
         "ukf_fused_kernel_steps_per_s_T50k": round(ukf_fused_rate, 1),
         "ukf_fused_vs_julia_baseline": round(
             ukf_fused_rate / BASELINE_UKF_STEPS_PER_S, 3),
@@ -957,6 +959,12 @@ _DOC_ROWS = [
      "`parallel.sharded_pf_loglik_fused`), ll certified against the exact "
      "KF",
      "pf_fused_N1e6_steps_per_s", 1e9, "G particle-steps/s", None),
+    ("UKF-class single stream, 4-state CV model, T=50k, through the PLAIN "
+     "`loglik(ukf, …)` verb: affine-detected callbacks auto-reduce to the "
+     "exact plain KF and run the O(log T) temporal-parallel scan "
+     "(`routing._affine_equiv_kf`)",
+     "ukf_routed_verb_steps_per_s_T50k", 1e6, "M steps/s",
+     "ukf_routed_verb_vs_julia_baseline"),
     ("UKF-class single stream, 4-state CV model, T=50k: O(log T) iterated "
      "sigma-point smoother (`parallel_ukf_smooth`, full filter+smoother)",
      "parallel_ukf_equiv_steps_per_s_T50k", 1e6, "M steps/s",
@@ -972,9 +980,10 @@ _DOC_ROWS = [
     ("UKF, 4-state CV model, generic-callback bank of 1024 instances",
      "ukf_bank1024_steps_per_s", 1e6, "M ukf-steps/s", None),
     ("UKF, single stream, sequential whole-scan kernel (`loglik_fused`; "
-     "affine-detected callbacks re-route through the EKF kernel — exact, "
-     "skips both sigma generations; latency floor documented in "
-     "docs/performance.md §5b — use the parallel smoother or a bank)",
+     "constant-Jacobian affine callbacks run the steady-state "
+     "Riccati-freeze kernel — data-independent covariance recursion "
+     "frozen at its f32 fixed point, one folded matvec per step; "
+     "dependency-latency cost model in docs/performance.md §5b)",
      "ukf_fused_kernel_steps_per_s_T50k", 1e3, "k steps/s",
      "ukf_fused_vs_julia_baseline"),
     ("KF bank, 8192 trajectory passes × 200 steps (shared-Riccati + "
