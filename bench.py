@@ -322,7 +322,7 @@ def _timeit(fn, *args, repeats=3):
     return sorted(ts)[len(ts) // 2]  # median — robust to transport flakes
 
 
-def _tslope(make, T1, T2):
+def _tslope(make, T1, T2, slopes=1):
     """Steady-state rate via the T-slope: time the same jitted workload at
     two trajectory lengths and divide the extra work by the extra time.
     The axon relay adds ~27 ms of per-dispatch RPC latency; any wall-time
@@ -332,12 +332,25 @@ def _tslope(make, T1, T2):
     The denominator is floored at 1 ms (the relay's run-to-run jitter
     scale): when a workload's marginal cost shrinks below that, the
     reported rate degrades to an honest LOWER bound instead of a
-    jitter-divided artifact — pick a larger T2 spread in that case."""
+    jitter-divided artifact — pick a larger T2 spread in that case.
+
+    ``slopes > 1`` repeats the whole two-point measurement and takes
+    the MEDIAN slope: the fastest fields' ~10 ms marginal windows
+    sampled ±40% run-to-run through the relay (r5: the parallel-KF
+    field ranged 0.3-4.2 ns/step across otherwise identical runs), and
+    a median of 3 independent slopes is an honest variance reducer
+    where min-of-slopes would bias low."""
     fn1, args1, w1 = make(T1)
     fn2, args2, w2 = make(T2)
-    dt1 = _timeit(fn1, *args1)
-    dt2 = _timeit(fn2, *args2)
-    return (w2 - w1) / max(dt2 - dt1, 1e-3), dt1
+    rates = []
+    dt1 = None
+    for _ in range(max(1, slopes)):
+        d1 = _timeit(fn1, *args1)
+        d2 = _timeit(fn2, *args2)
+        dt1 = d1 if dt1 is None else min(dt1, d1)
+        rates.append((w2 - w1) / max(d2 - d1, 1e-3))
+    rates.sort()
+    return rates[len(rates) // 2], dt1
 
 
 def bench_pf(N=100_000, T=1_000, resample_threshold=0.1, method="auto"):
@@ -467,7 +480,7 @@ def bench_ukf(T=50_000):
         runr = jax.jit(lambda ys: llpf.loglik(ukf, None, ys))
         return runr, (ysn,), Tn
 
-    routed_rate, _ = _tslope(make_routed, 100_000, 32 * 100_000)
+    routed_rate, _ = _tslope(make_routed, 100_000, 32 * 100_000, slopes=3)
 
     # whole-scan pallas kernel (ops/pallas/ukf_scan.py)
     runf = jax.jit(lambda ys: llpf.ukf_loglik_fused(ukf, ys))
@@ -707,7 +720,7 @@ def bench_parallel_kf(T=100_000):
     # ~1 ms relay jitter floor with margin (r4's 32x-from-100k spread
     # left ~5 ms marginal and sampled 0.3-4.2 ns run-to-run; 2T..64T
     # doubles the marginal window)
-    par_rate, _ = _tslope(make, 2 * T, 64 * T)
+    par_rate, _ = _tslope(make, 2 * T, 64 * T, slopes=3)
     return dt_seq / dt_par, dt_seq, dt_par, par_rate
 
 
