@@ -237,6 +237,31 @@ def certify_kernels():
         checks["manifold_hooks_vs_oracle"] = False
         checks["manifold_hooks_error"] = repr(e)[:160]
 
+    # round-5 whole-scan bank KF kernel (VMEM-resident bank) vs the
+    # plane-path oracle — the two must agree to f32 tolerance on the
+    # real Mosaic output
+    try:
+        Ab = jnp.array([[0.97043, -0.097368], [0.097368, 0.970437]],
+                       jnp.float32)
+        kfb = llpf.KalmanFilter(Ab, jnp.array([[0.1], [0.0]], jnp.float32),
+                                jnp.eye(2, dtype=jnp.float32), 0,
+                                0.01 * jnp.eye(2, dtype=jnp.float32),
+                                0.1 * jnp.eye(2, dtype=jnp.float32))
+        usb = 0.3 * jnp.ones((512, 100, 1), jnp.float32)
+        ysb = jax.random.normal(jax.random.PRNGKey(9), (512, 100, 2),
+                                jnp.float32)
+        ll_k = np.asarray(jax.device_get(jax.jit(
+            lambda u, y: llpf.kf_bank_loglik(kfb, u, y, method="kernel"))(
+                usb, ysb)))
+        ll_p = np.asarray(jax.device_get(jax.jit(
+            lambda u, y: llpf.kf_bank_loglik(kfb, u, y, method="plane"))(
+                usb, ysb)))
+        checks["bank_kernel_vs_plane"] = bool(
+            np.allclose(ll_k, ll_p, rtol=1e-4, atol=1e-3))
+    except Exception as e:
+        checks["bank_kernel_vs_plane"] = False
+        checks["bank_kernel_error"] = repr(e)[:160]
+
     checks["kernels_verified"] = all(
         v for k, v in checks.items() if isinstance(v, bool))
     return checks
@@ -398,9 +423,10 @@ def bench_pf(N=100_000, T=1_000, resample_threshold=0.1, method="auto"):
 def bench_kf_bank(Bk=1024, T=200, path="bank", t2_factor=8):
     """Bank of ``Bk`` shared-model KFs.  ``path='bank'`` uses the
     shared-Riccati bank execution (filters/bank.py: covariance recursion
-    once, bank-major mean matmuls); ``'vmap'`` is the replicated-Riccati
-    baseline.  The bank ll is cross-checked against the vmap oracle on
-    hardware before timing."""
+    once, whole-scan VMEM bank kernel on TPU / bank-major mean planes
+    elsewhere); ``'plane'`` forces the round-4 prefix-compose plane
+    path; ``'vmap'`` is the replicated-Riccati baseline.  The bank ll is
+    cross-checked against the vmap oracle on hardware before timing."""
     A = jnp.array([[0.97043, -0.097368], [0.097368, 0.970437]], dtype=jnp.float32)
     Bm = jnp.array([[0.1], [0.0]], dtype=jnp.float32)
     C = jnp.eye(2, dtype=jnp.float32)
@@ -414,6 +440,9 @@ def bench_kf_bank(Bk=1024, T=200, path="bank", t2_factor=8):
         ys = jax.vmap(lambda k, u: llpf.simulate(kf, u, k)[2])(keys, us)
         if path == "bank":
             run = jax.jit(lambda us, ys: llpf.kf_bank_loglik(kf, us, ys))
+        elif path == "plane":
+            run = jax.jit(lambda us, ys: llpf.kf_bank_loglik(
+                kf, us, ys, method="plane"))
         else:
             run = jax.jit(lambda us, ys: jax.vmap(
                 lambda u, y: llpf.loglik(kf, u, y))(us, ys))
@@ -786,6 +815,12 @@ def main():
         kf8_rate, _, _, kf8_ll_ok = bench_kf_bank(Bk=8192, t2_factor=128)
     except Exception:
         kf8_rate, kf8_ll_ok = float("nan"), False
+    try:
+        # round-4 prefix-compose plane path, for the kernel-vs-plane row
+        kf8p_rate, _, _, _ = bench_kf_bank(Bk=8192, path="plane",
+                                           t2_factor=128)
+    except Exception:
+        kf8p_rate = float("nan")
     (ukf_rate, ukf_dt, ukf_bank_rate, ukf_fused_rate,
      ukf_bank_aff_rate, ukf_routed_rate) = bench_ukf()
     ffbs_rate, ffbs_dt, ffbs_mfu = bench_ffbs()
@@ -852,6 +887,7 @@ def main():
         "kf_bank_ll_matches_vmap": bool(kf_ll_ok),
         "kf_bank8192_passes_per_s": round(kf8_rate, 1),
         "kf_bank8192_ll_matches_vmap": bool(kf8_ll_ok),
+        "kf_bank8192_plane_passes_per_s": round(kf8p_rate, 1),
         "ukf_steps_per_s_T50k": round(ukf_rate, 1),
         "ukf_routed_verb_steps_per_s_T50k": round(ukf_routed_rate, 1),
         "ukf_routed_verb_vs_julia_baseline": round(

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.matrices import resolve_mat
+from ..routing import _under_batch_trace
 from ..utils.struct import struct, field
 from .kalman import _LOG2PI, kf_correct, kf_predict
 
@@ -213,7 +214,7 @@ def _bank_loglik_planes(kf, us, ys, Bk, T, dtype, Schol, K, A, Bm, C, D):
     return jnp.sum(lls, 0)
 
 
-def _bank_scan(kf, us, ys, want_states: bool):
+def _bank_scan(kf, us, ys, want_states: bool, method: str = "auto"):
     """Shared precompute + bank-major scan.  Returns
     (ll[B], x[B,T,nx], xt[B,T,nx], e[B,T,ny], R[T,nx,nx], Rt[T,nx,nx])
     with the state outputs None when ``want_states`` is False."""
@@ -222,6 +223,34 @@ def _bank_scan(kf, us, ys, want_states: bool):
     nx, ny = kf.nx, kf.ny
     Rs, Schol, K, Rf, A, Bm, C, D = _shared_recursion(kf, T, dtype)
     if not want_states and nx <= 8 and ny <= 8:
+        # round-5 whole-scan bank kernel: the sequential mean/ll
+        # recursion with the bank resident in VMEM beats the prefix-
+        # compose's log2(T) HBM passes over [T, B] planes at large B
+        # (ops/pallas/bank_scan.py); batch traces and off-TPU fall back,
+        # jvp/grad re-route through the plane path via route_ad
+        from ..ops.pallas import bank_scan as _bs
+
+        nu = us.shape[-1]
+        if method == "kernel":
+            if not _bs.bank_kernel_supported(T, Bk, nx, ny, nu, dtype):
+                raise ValueError(
+                    "bank kernel unsupported for this config "
+                    "(see ops/pallas/bank_scan.py::bank_kernel_supported)")
+            use_kernel = True
+        else:
+            use_kernel = (method == "auto" and _bs._route_on_tpu()
+                          and _bs.bank_kernel_profitable(T, Bk, nx, ny,
+                                                         nu, dtype))
+        if (use_kernel and dtype == jnp.float32
+                and not _under_batch_trace(kf, us, ys)):
+            from ..ops.pallas.adroute import route_ad
+
+            kern = lambda u_, y_: _bs.bank_loglik_kernel(
+                kf, u_, y_, Schol, K, A, Bm, C, D)
+            xla = lambda u_, y_: _bank_loglik_planes(
+                kf, u_, y_, Bk, T, dtype, Schol, K, A, Bm, C, D)
+            ll = route_ad(kern, xla, us, ys)
+            return ll, None, None, None, Rs, Rf
         ll = _bank_loglik_planes(kf, us, ys, Bk, T, dtype, Schol, K,
                                  A, Bm, C, D)
         return ll, None, None, None, Rs, Rf
@@ -286,7 +315,7 @@ def _bank_scan(kf, us, ys, want_states: bool):
     return jnp.sum(lls, 0), None, None, None, Rs, Rf
 
 
-def kf_bank_loglik(kf, us, ys) -> jax.Array:
+def kf_bank_loglik(kf, us, ys, method: str = "auto") -> jax.Array:
     """Per-lane log-likelihood ``[B]`` of ``B`` independent datasets
     through one shared `KalmanFilter` — semantically
     ``vmap(lambda u, y: loglik(kf, u, y))(us, ys)`` (smoothing.jl:227-236
@@ -294,13 +323,16 @@ def kf_bank_loglik(kf, us, ys) -> jax.Array:
     means advanced by bank-major matmuls.
 
     ``ys``: ``[B, T, ny]``; ``us``: ``[B, T, nu]``, shared ``[T, nu]``,
-    or None.
+    or None.  ``method``: ``"auto"`` (whole-scan VMEM kernel on TPU,
+    plane path elsewhere), ``"kernel"``, or ``"plane"``.
     """
+    if method not in ("auto", "kernel", "plane"):
+        raise ValueError(f"unknown bank method {method!r}")
     if not kf_bank_admissible(kf):
         ll1 = lambda u, y: _vmap_loglik(kf, u, y)
         us, ys, _, _ = _bank_inputs(kf, us, ys)
         return jax.vmap(ll1)(us, ys)
-    ll, *_ = _bank_scan(kf, us, ys, want_states=False)
+    ll, *_ = _bank_scan(kf, us, ys, want_states=False, method=method)
     return ll
 
 
